@@ -1,0 +1,27 @@
+"""Test config: run JAX on an 8-device virtual CPU mesh (SURVEY.md §4.3).
+
+Must set env vars before jax is imported anywhere.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+# The axon PJRT plugin presets JAX_PLATFORMS=axon in the environment and the
+# env var alone does not win; force the CPU platform via config.
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)

@@ -1,0 +1,219 @@
+"""U-Net, TPU-native functional form.
+
+Capability parity with the reference model (reference: unet/unet_model.py —
+UNet, unet/unet_parts.py — DoubleConv/Down/Up/OutConv; UNVERIFIED mount, see
+SURVEY.md §0/§2 #1–#5):
+
+  * inc = DoubleConv(n_ch, 64); down1..4 → 128/256/512/(1024//factor) with
+    factor = 2 if bilinear else 1; up1..4 → 512//f, 256//f, 128//f, 64; outc
+    1×1 conv to n_classes. DoubleConv = (3×3 conv, pad 1, no bias → BN →
+    ReLU) × 2 with optional mid_channels.
+  * bilinear=True decoder: 2× align-corners bilinear upsample +
+    DoubleConv(in, out, mid=in//2); else ConvTranspose2d(in, in//2, k=2, s=2)
+    + DoubleConv(in, out).
+  * Up pads the upsampled tensor to the skip's size (floor/ceil split) then
+    concatenates [skip, up] on channels.
+  * ``use_checkpointing()`` analog: ``remat=True`` wraps each block in
+    ``jax.checkpoint`` (recompute-in-backward), the TPU way to trade FLOPs
+    for HBM.
+
+Not a port: the model is a pure function ``unet_apply(params, state, x)`` over
+NHWC arrays — params are a pytree, BN running stats are explicit state, and
+the whole forward is a single traced XLA program (no Python module dispatch at
+run time). AMP is a ``compute_dtype=bfloat16`` cast at the block boundary with
+fp32 conv accumulation and fp32 BN statistics, mirroring torch autocast
+behavior on the reference.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from tpu_unet.ops import (
+    BNState,
+    batch_norm,
+    conv2d,
+    conv_transpose2d,
+    init_bn_params,
+    init_bn_state,
+    max_pool2d,
+    pad_to_match,
+    upsample2x_align_corners,
+)
+
+Params = dict[str, Any]
+State = dict[str, Any]
+
+
+class UNetConfig(NamedTuple):
+    n_channels: int = 3
+    n_classes: int = 2
+    bilinear: bool = False
+    base_channels: int = 64
+
+
+# ---------------------------------------------------------------------------
+# Initialization (torch-style kaiming-uniform bounds so training dynamics
+# match the reference; exact weights are irrelevant — goldens load weights).
+# ---------------------------------------------------------------------------
+
+
+def _conv_init(key, kh, kw, cin, cout, *, bias: bool, dtype=jnp.float32) -> Params:
+    wkey, bkey = jax.random.split(key)
+    fan_in = cin * kh * kw
+    bound = 1.0 / (fan_in ** 0.5)
+    p: Params = {
+        "w": jax.random.uniform(wkey, (kh, kw, cin, cout), dtype, -bound, bound)
+    }
+    if bias:
+        p["b"] = jax.random.uniform(bkey, (cout,), dtype, -bound, bound)
+    return p
+
+
+def _double_conv_init(key, cin, cout, cmid=None, dtype=jnp.float32):
+    cmid = cout if cmid is None else cmid
+    k1, k2 = jax.random.split(key)
+    params = {
+        "conv1": _conv_init(k1, 3, 3, cin, cmid, bias=False, dtype=dtype),
+        "bn1": init_bn_params(cmid, dtype),
+        "conv2": _conv_init(k2, 3, 3, cmid, cout, bias=False, dtype=dtype),
+        "bn2": init_bn_params(cout, dtype),
+    }
+    state = {"bn1": init_bn_state(cmid), "bn2": init_bn_state(cout)}
+    return params, state
+
+
+def init_unet(
+    key: jax.Array, config: UNetConfig, dtype=jnp.float32
+) -> tuple[Params, State]:
+    """Build (params, state) pytrees for the U-Net described by ``config``."""
+    c = config.base_channels
+    factor = 2 if config.bilinear else 1
+    keys = jax.random.split(key, 10)
+    params: Params = {}
+    state: State = {}
+
+    params["inc"], state["inc"] = _double_conv_init(keys[0], config.n_channels, c, dtype=dtype)
+    down_channels = [(c, 2 * c), (2 * c, 4 * c), (4 * c, 8 * c), (8 * c, 16 * c // factor)]
+    for i, (cin, cout) in enumerate(down_channels, start=1):
+        params[f"down{i}"], state[f"down{i}"] = _double_conv_init(
+            keys[i], cin, cout, dtype=dtype
+        )
+
+    up_specs = [  # (in_channels, out_channels) per reference channel plan
+        (16 * c // factor, 8 * c // factor),
+        (8 * c // factor, 4 * c // factor),
+        (4 * c // factor, 2 * c // factor),
+        (2 * c // factor, c),
+    ]
+    for i, (cin, cout) in enumerate(up_specs, start=1):
+        kup, kconv = jax.random.split(keys[4 + i])
+        # Skip channels at this decoder level (encoder output it concats with).
+        skip = [8 * c, 4 * c, 2 * c, c][i - 1]
+        if config.bilinear:
+            # concat(skip, upsampled cin) == reference's nominal in_channels;
+            # DoubleConv(in, out, mid=in//2) per unet_parts.Up (UNVERIFIED).
+            concat_c = skip + cin
+            conv_p, conv_s = _double_conv_init(kconv, concat_c, cout, concat_c // 2, dtype=dtype)
+            p = {"conv": conv_p}
+            s = {"conv": conv_s}
+        else:
+            # ConvTranspose2d(cin, cin//2, k=2, s=2); torch fan_in for ConvT
+            # weights (Cin, Cout, k, k) is Cout*k*k.
+            wkey, bkey = jax.random.split(kup)
+            half = cin // 2
+            bound = 1.0 / ((half * 2 * 2) ** 0.5)
+            up_p = {
+                "w": jax.random.uniform(wkey, (2, 2, cin, half), dtype, -bound, bound),
+                "b": jax.random.uniform(bkey, (half,), dtype, -bound, bound),
+            }
+            conv_p, conv_s = _double_conv_init(kconv, skip + half, cout, dtype=dtype)
+            p = {"up": up_p, "conv": conv_p}
+            s = {"conv": conv_s}
+        params[f"up{i}"], state[f"up{i}"] = p, s
+
+    params["outc"] = _conv_init(keys[9], 1, 1, c, config.n_classes, bias=True, dtype=dtype)
+    return params, state
+
+
+# ---------------------------------------------------------------------------
+# Apply
+# ---------------------------------------------------------------------------
+
+
+def _double_conv_apply(params, state, x, *, train: bool, axis_name=None):
+    h = conv2d(x, params["conv1"]["w"], stride=1, padding=1)
+    h, bn1 = batch_norm(h.astype(x.dtype), params["bn1"], state["bn1"], train=train, axis_name=axis_name)
+    h = jax.nn.relu(h)
+    h = conv2d(h, params["conv2"]["w"], stride=1, padding=1)
+    h, bn2 = batch_norm(h.astype(x.dtype), params["bn2"], state["bn2"], train=train, axis_name=axis_name)
+    h = jax.nn.relu(h)
+    return h, {"bn1": bn1, "bn2": bn2}
+
+
+def _up_apply(params, state, x1, x2, *, bilinear: bool, train: bool, axis_name=None):
+    """Decoder block: upsample x1, pad to skip x2, concat [x2, x1], DoubleConv."""
+    if bilinear:
+        x1 = upsample2x_align_corners(x1)
+    else:
+        up = conv_transpose2d(x1, params["up"]["w"], stride=2)
+        x1 = (up + params["up"]["b"].astype(jnp.float32)).astype(x1.dtype)
+    x1 = pad_to_match(x1, x2)
+    x = jnp.concatenate([x2, x1], axis=-1)
+    return _double_conv_apply(params["conv"], state["conv"], x, train=train, axis_name=axis_name)
+
+
+def unet_apply(
+    params: Params,
+    state: State,
+    x: jax.Array,
+    *,
+    config: UNetConfig,
+    train: bool = False,
+    compute_dtype=None,
+    remat: bool = False,
+    axis_name: str | None = None,
+) -> tuple[jax.Array, State]:
+    """Forward pass. x: [N,H,W,n_channels] -> logits [N,H,W,n_classes].
+
+    compute_dtype=jnp.bfloat16 is the TPU analog of the reference's --amp
+    (autocast): activations/weights in bf16, conv accumulation and BN stats in
+    fp32, logits returned in fp32.
+    remat=True is the analog of the reference's use_checkpointing() OOM
+    fallback: every block recomputes activations in the backward pass.
+    """
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        params = jax.tree.map(lambda p: p.astype(compute_dtype), params)
+
+    dc = functools.partial(_double_conv_apply, train=train, axis_name=axis_name)
+    up = functools.partial(
+        _up_apply, bilinear=config.bilinear, train=train, axis_name=axis_name
+    )
+    if remat:
+        dc = jax.checkpoint(dc)
+        up = jax.checkpoint(up)
+
+    new_state: State = {}
+    x1, new_state["inc"] = dc(params["inc"], state["inc"], x)
+    x2, new_state["down1"] = dc(params["down1"], state["down1"], max_pool2d(x1))
+    x3, new_state["down2"] = dc(params["down2"], state["down2"], max_pool2d(x2))
+    x4, new_state["down3"] = dc(params["down3"], state["down3"], max_pool2d(x3))
+    x5, new_state["down4"] = dc(params["down4"], state["down4"], max_pool2d(x4))
+
+    h, new_state["up1"] = up(params["up1"], state["up1"], x5, x4)
+    h, new_state["up2"] = up(params["up2"], state["up2"], h, x3)
+    h, new_state["up3"] = up(params["up3"], state["up3"], h, x2)
+    h, new_state["up4"] = up(params["up4"], state["up4"], h, x1)
+
+    logits = conv2d(h, params["outc"]["w"], stride=1, padding=0)
+    logits = logits + params["outc"]["b"].astype(jnp.float32)
+    return logits.astype(jnp.float32), new_state
+
+
+def param_count(params: Params) -> int:
+    return sum(p.size for p in jax.tree.leaves(params))

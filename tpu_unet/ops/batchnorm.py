@@ -1,0 +1,83 @@
+"""BatchNorm over NHWC, functional (explicit running-stats state).
+
+Parity target: torch.nn.BatchNorm2d(C) with default eps=1e-5, momentum=0.1
+(reference: unet/unet_parts.py — DoubleConv uses Conv→BN→ReLU, UNVERIFIED
+mount, SURVEY.md §2 #1).
+
+TPU-first notes: stats reduce over (N,H,W) which XLA lowers to a single fused
+reduction on the VPU; the normalize itself is a fused multiply-add that XLA
+folds into the producing conv's epilogue. Statistics are always accumulated in
+float32 even under bf16 activations (AMP parity with torch autocast, which
+keeps BN in fp32).
+
+Design decision (SURVEY.md §7 stage 4): batch stats are PER-DEVICE under data
+parallelism — the reference is single-device so per-replica BN is the
+parity-consistent choice, and it avoids cross-replica collectives in the hot
+loop. ``axis_name`` opts into cross-replica (synced) stats when wanted.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class BNState(NamedTuple):
+    """Running statistics for one BatchNorm layer."""
+
+    mean: jax.Array  # [C]
+    var: jax.Array  # [C]
+
+
+def init_bn_params(c: int, dtype=jnp.float32) -> dict:
+    return {"scale": jnp.ones((c,), dtype), "bias": jnp.zeros((c,), dtype)}
+
+
+def init_bn_state(c: int) -> BNState:
+    return BNState(mean=jnp.zeros((c,), jnp.float32), var=jnp.ones((c,), jnp.float32))
+
+
+def batch_norm(
+    x: jax.Array,
+    params: dict,
+    state: BNState,
+    *,
+    train: bool,
+    momentum: float = 0.1,
+    eps: float = 1e-5,
+    axis_name: str | None = None,
+) -> tuple[jax.Array, BNState]:
+    """Apply batch norm. x: [N,H,W,C]. Returns (y, new_state).
+
+    Train mode normalizes by biased batch variance and updates running stats
+    with the unbiased variance (torch semantics). Eval mode uses running stats.
+    """
+    orig_dtype = x.dtype
+    if train:
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=(0, 1, 2))
+        # Biased variance for normalization (torch semantics).
+        var = jnp.mean(jnp.square(xf), axis=(0, 1, 2)) - jnp.square(mean)
+        n = x.shape[0] * x.shape[1] * x.shape[2]
+        if axis_name is not None:
+            mean = jax.lax.pmean(mean, axis_name)
+            var = jax.lax.pmean(var, axis_name)
+            n = n * jax.lax.psum(1, axis_name)
+        # Unbiased variance for the running buffer (torch semantics).
+        unbiased = var * (n / max(n - 1, 1))
+        new_state = BNState(
+            mean=(1 - momentum) * state.mean + momentum * mean,
+            var=(1 - momentum) * state.var + momentum * unbiased,
+        )
+    else:
+        mean, var = state.mean, state.var
+        new_state = state
+
+    scale = params["scale"].astype(jnp.float32)
+    bias = params["bias"].astype(jnp.float32)
+    inv = jax.lax.rsqrt(var + eps) * scale
+    # One fused multiply-add per element; XLA folds this into the conv epilogue.
+    y = x.astype(jnp.float32) * inv + (bias - mean * inv)
+    return y.astype(orig_dtype), new_state

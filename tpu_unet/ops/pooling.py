@@ -1,0 +1,27 @@
+"""Pooling ops, NHWC. Parity: torch.nn.MaxPool2d(2) (reference:
+unet/unet_parts.py — Down, UNVERIFIED mount, SURVEY.md §2 #2).
+
+``lax.reduce_window`` with VALID padding reproduces torch's floor-mode output
+size for odd inputs and lowers to a single VPU pass on TPU.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def max_pool2d(x: jax.Array, window: int = 2, stride: int | None = None) -> jax.Array:
+    """Max pooling. x: [N,H,W,C] -> [N,H//w,W//w,C] (floor mode, like torch)."""
+    if stride is None:
+        stride = window
+    neg_inf = -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
+    return lax.reduce_window(
+        x,
+        neg_inf,
+        lax.max,
+        window_dimensions=(1, window, window, 1),
+        window_strides=(1, stride, stride, 1),
+        padding="VALID",
+    )
