@@ -1,0 +1,83 @@
+"""Optimizer/scheduler parity vs torch (SURVEY.md §7 hard part #2)."""
+
+import numpy as np
+import torch
+
+import jax.numpy as jnp
+
+from tpu_unet.optim import (
+    ReduceLROnPlateau,
+    clip_grad_norm,
+    rmsprop_init,
+    rmsprop_update,
+)
+
+
+def test_rmsprop_matches_torch_reference_config(rng):
+    """lr=1e-5, wd=1e-8, momentum=0.999 — the reference's exact call."""
+    w0 = rng.standard_normal((6, 4), dtype=np.float32)
+    p_t = torch.nn.Parameter(torch.from_numpy(w0.copy()))
+    opt = torch.optim.RMSprop([p_t], lr=1e-5, weight_decay=1e-8, momentum=0.999)
+
+    params = {"w": jnp.asarray(w0)}
+    state = rmsprop_init(params)
+
+    lr = 1e-5
+    for step in range(5):
+        g = rng.standard_normal((6, 4), dtype=np.float32)
+        opt.zero_grad()
+        p_t.grad = torch.from_numpy(g.copy())
+        opt.step()
+        params, state = rmsprop_update({"w": jnp.asarray(g)}, state, params, lr)
+        np.testing.assert_allclose(
+            np.asarray(params["w"]), p_t.detach().numpy(), atol=1e-7, rtol=1e-5,
+            err_msg=f"step {step}",
+        )
+
+
+def test_rmsprop_with_larger_lr_diverges_identically(rng):
+    """Bigger lr so differences would be visible if semantics were off."""
+    w0 = rng.standard_normal((3, 3), dtype=np.float32)
+    p_t = torch.nn.Parameter(torch.from_numpy(w0.copy()))
+    opt = torch.optim.RMSprop([p_t], lr=1e-2, weight_decay=1e-4, momentum=0.9)
+    params, state = {"w": jnp.asarray(w0)}, rmsprop_init({"w": jnp.asarray(w0)})
+    for _ in range(10):
+        g = rng.standard_normal((3, 3), dtype=np.float32)
+        p_t.grad = torch.from_numpy(g.copy())
+        opt.step()
+        params, state = rmsprop_update(
+            {"w": jnp.asarray(g)}, state, params, 1e-2,
+            weight_decay=1e-4, momentum=0.9,
+        )
+    np.testing.assert_allclose(np.asarray(params["w"]), p_t.detach().numpy(), atol=1e-5, rtol=1e-4)
+
+
+def test_clip_grad_norm_matches_torch(rng):
+    g1 = rng.standard_normal((4, 4), dtype=np.float32) * 3
+    g2 = rng.standard_normal((7,), dtype=np.float32) * 3
+    t1 = torch.nn.Parameter(torch.zeros(4, 4))
+    t2 = torch.nn.Parameter(torch.zeros(7))
+    t1.grad = torch.from_numpy(g1.copy())
+    t2.grad = torch.from_numpy(g2.copy())
+    total = torch.nn.utils.clip_grad_norm_([t1, t2], 1.0)
+
+    clipped, norm = clip_grad_norm({"a": jnp.asarray(g1), "b": jnp.asarray(g2)}, 1.0)
+    np.testing.assert_allclose(float(norm), float(total), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(clipped["a"]), t1.grad.numpy(), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(clipped["b"]), t2.grad.numpy(), rtol=1e-5)
+
+
+def test_plateau_matches_torch():
+    """Feed an identical metric sequence to ours and torch's scheduler."""
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.RMSprop([p], lr=1e-5)
+    sched_t = torch.optim.lr_scheduler.ReduceLROnPlateau(opt, "max", patience=5)
+    sched_j = ReduceLROnPlateau(lr=1e-5, mode="max", patience=5)
+
+    metrics = [0.1, 0.2, 0.3, 0.3, 0.3, 0.3, 0.3, 0.3, 0.3, 0.3, 0.31, 0.31,
+               0.31, 0.31, 0.31, 0.31, 0.31, 0.5, 0.4, 0.4]
+    for m in metrics:
+        sched_t.step(m)
+        lr_j = sched_j.step(m)
+        lr_t = opt.param_groups[0]["lr"]
+        assert abs(lr_j - lr_t) < 1e-12, (m, lr_j, lr_t)
