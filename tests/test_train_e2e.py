@@ -1,0 +1,101 @@
+"""End-to-end slice: train on synthetic Carvana, loss decreases, checkpoint
+lands, predict produces a mask file (SURVEY.md §7 stage 3 milestone)."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import jax
+import jax.numpy as jnp
+
+from tpu_unet.data import CarvanaDataset, make_synthetic_carvana
+from tpu_unet.evaluate import evaluate
+from tpu_unet.models import UNetConfig, init_unet
+from tpu_unet.predict import main as predict_main, mask_to_image, predict_img
+from tpu_unet.train import compute_loss, main as train_main, make_train_step, train_model
+
+
+@pytest.fixture(scope="module")
+def carvana(tmp_path_factory):
+    root = tmp_path_factory.mktemp("data")
+    make_synthetic_carvana(root, n=10, h=48, w=64)
+    return root
+
+
+def test_train_loss_decreases(carvana, tmp_path):
+    config = UNetConfig(3, 1, bilinear=True, base_channels=8)
+    params, state = init_unet(jax.random.PRNGKey(0), config)
+    ds = CarvanaDataset(carvana / "imgs", carvana / "masks", scale=1.0, num_workers=0)
+
+    params, state, hist = train_model(
+        params, state, config,
+        dataset=ds, epochs=2, batch_size=2, learning_rate=1e-3,
+        val_percent=0.2, checkpoint_dir=tmp_path / "ckpts", seed=0,
+    )
+    losses = hist["train_loss"]
+    assert len(losses) == 8  # 8 train imgs / batch 2 × 2 epochs
+    assert np.mean(losses[-4:]) < np.mean(losses[:4])
+    assert (tmp_path / "ckpts" / "checkpoint_epoch2.npz").exists()
+    # Validation ran (division_step = 4//(5·2)=0 → none; evaluate manually).
+    val_dice, val_iou = evaluate(
+        params, state,
+        [{"image": np.stack([ds[i]["image"] for i in (0, 1)]),
+          "mask": np.stack([ds[i]["mask"] for i in (0, 1)])}],
+        config,
+    )
+    assert 0.0 <= val_dice <= 1.0 and 0.0 <= val_iou <= 1.0
+
+
+def test_multiclass_loss_path():
+    config = UNetConfig(3, 3, bilinear=False, base_channels=8)
+    params, state = init_unet(jax.random.PRNGKey(0), config)
+    step = make_train_step(config)
+    from tpu_unet.optim import rmsprop_init
+
+    opt = rmsprop_init(params)
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.random((2, 32, 32, 3), dtype=np.float32))
+    masks = jnp.asarray(rng.integers(0, 3, (2, 32, 32)))
+    p2, s2, o2, loss, gnorm = step(params, state, opt, imgs, masks, jnp.float32(1e-3))
+    assert np.isfinite(float(loss)) and float(loss) > 0
+    assert np.isfinite(float(gnorm))
+
+
+def test_cli_train_and_predict_e2e(carvana, tmp_path, monkeypatch):
+    """Drive the actual CLIs: train 1 epoch then predict a mask image."""
+    monkeypatch.chdir(tmp_path)
+    ckpt_dir = tmp_path / "checkpoints"
+    train_main([
+        "-e", "1", "-b", "2", "-l", "1e-3", "-s", "1.0", "-c", "1",
+        "--data-dir", str(carvana), "--checkpoint-dir", str(ckpt_dir),
+    ])
+    ckpt = ckpt_dir / "checkpoint_epoch1.npz"
+    assert ckpt.exists()
+
+    img_path = next((carvana / "imgs").glob("*.png"))
+    out_path = tmp_path / "mask_out.png"
+    predict_main([
+        "-m", str(ckpt), "-i", str(img_path), "-o", str(out_path),
+        "-s", "1.0", "-c", "1",
+    ])
+    assert out_path.exists()
+    mask = np.asarray(Image.open(out_path))
+    assert mask.shape == (48, 64)
+    assert set(np.unique(mask)) <= {0, 255}
+
+
+def test_predict_img_returns_original_resolution(carvana):
+    config = UNetConfig(3, 1, bilinear=True, base_channels=8)
+    params, state = init_unet(jax.random.PRNGKey(0), config)
+    img = Image.open(next((carvana / "imgs").glob("*.png")))
+    mask = predict_img(params, state, config, img, scale_factor=0.5)
+    assert mask.shape == (48, 64)  # original size, not the scaled size
+    assert mask.dtype == bool
+
+
+def test_mask_to_image_palettes():
+    m = np.array([[0, 1], [1, 0]])
+    img = mask_to_image(m, [0, 255])
+    assert np.asarray(img).tolist() == [[0, 255], [255, 0]]
+    img_rgb = mask_to_image(m, [[0, 0, 0], [255, 0, 0]])
+    assert np.asarray(img_rgb).shape == (2, 2, 3)

@@ -1,0 +1,163 @@
+"""Checkpoint save/load + one-way .pth importer.
+
+Parity contract (reference: train.py per-epoch ``torch.save(state_dict ∪
+{'mask_values'})``, loaders popping 'mask_values' before load_state_dict;
+UNVERIFIED mount, SURVEY.md §5 "Checkpoint / resume"): the class-palette
+``mask_values`` rides inside the checkpoint — predict needs it to render
+masks. We preserve that contract: checkpoints carry params + BN state +
+mask_values (+ optional optimizer/step metadata, which the reference does not
+save — mirroring its weights-only resume, but optionally richer).
+
+Format: a single ``.npz`` with keypath-flattened arrays + a JSON metadata
+entry — single-file, host-portable, no directory dance needed for this model
+size (31M params). The .pth importer understands torch state_dicts of the
+canonical upstream U-Net by ORDER-based parsing within each block (conv
+weights are the 4-D tensors; each is followed by its BN's 1-D γ/β/μ/σ²),
+so it tolerates both the modern (`double_conv`) and legacy attribute naming.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from tpu_unet.models import Params, State, UNetConfig
+from tpu_unet.ops.batchnorm import BNState
+
+
+def _flatten_with_paths(tree):
+    flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+    out = {}
+    for path, leaf in flat:
+        key = "/".join(
+            str(getattr(p, "key", getattr(p, "name", getattr(p, "idx", p))))
+            for p in path
+        )
+        out[key] = np.asarray(leaf)
+    return out
+
+
+def save_checkpoint(
+    path: str | Path,
+    params: Params,
+    state: State,
+    mask_values=None,
+    extra: dict | None = None,
+) -> None:
+    """Write params+state (+mask_values palette, + extra JSON metadata)."""
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    arrays = {}
+    for k, v in _flatten_with_paths(params).items():
+        arrays["params/" + k] = v
+    for k, v in _flatten_with_paths(state).items():
+        arrays["state/" + k] = v
+    meta = {"mask_values": mask_values, "extra": extra or {}}
+    arrays["__meta__"] = np.frombuffer(
+        json.dumps(meta).encode("utf-8"), dtype=np.uint8
+    )
+    np.savez(path, **arrays)
+
+
+def load_checkpoint(
+    path: str | Path, params_like: Params, state_like: State
+) -> tuple[Params, State, list | None, dict]:
+    """Restore into the structure of (params_like, state_like).
+
+    Returns (params, state, mask_values, extra).
+    """
+    with np.load(Path(path), allow_pickle=False) as z:
+        meta = json.loads(bytes(z["__meta__"].tolist()).decode("utf-8"))
+
+        def restore(prefix, like):
+            flat, treedef = jax.tree_util.tree_flatten_with_path(like)
+            leaves = []
+            for pth, leaf in flat:
+                key = prefix + "/".join(
+                    str(getattr(p, "key", getattr(p, "name", getattr(p, "idx", p))))
+                    for p in pth
+                )
+                arr = z[key]
+                if arr.shape != leaf.shape:
+                    raise ValueError(f"shape mismatch for {key}: {arr.shape} vs {leaf.shape}")
+                leaves.append(jnp.asarray(arr, dtype=leaf.dtype))
+            return jax.tree_util.tree_unflatten(jax.tree.structure(like), leaves)
+
+        params = restore("params/", params_like)
+        state = restore("state/", state_like)
+    return params, state, meta.get("mask_values"), meta.get("extra", {})
+
+
+# ---------------------------------------------------------------------------
+# torch .pth importer (SURVEY.md §5: "a one-way .pth importer for parity
+# testing" and for loading the reference's released Carvana weights).
+# ---------------------------------------------------------------------------
+
+
+def import_pth(path: str | Path, config: UNetConfig) -> tuple[Params, State, list | None]:
+    """Translate a torch U-Net checkpoint into (params, state, mask_values).
+
+    Handles the reference's layout: top-level blocks inc/down1..4/up1..4/outc;
+    per DoubleConv the tensor ORDER is conv-w(4D), bn-γ, bn-β, bn-μ, bn-σ²,
+    [num_batches], conv-w(4D), bn… . Up blocks prepend ConvT w(4D)+b when not
+    bilinear; outc is a 1×1 conv w+b. 'mask_values' is popped first, like
+    every loader in the reference does.
+    """
+    import torch
+
+    sd = torch.load(str(path), map_location="cpu", weights_only=False)
+    mask_values = None
+    if "mask_values" in sd:
+        mask_values = sd.pop("mask_values")
+        if hasattr(mask_values, "tolist"):
+            mask_values = mask_values.tolist()
+
+    groups: dict[str, list[tuple[str, np.ndarray]]] = {}
+    for k, v in sd.items():
+        if k.endswith("num_batches_tracked"):
+            continue
+        top = k.split(".")[0]
+        groups.setdefault(top, []).append((k, v.detach().numpy()))
+
+    def parse_double_conv(tensors: list[np.ndarray]):
+        assert len(tensors) == 10, f"DoubleConv expects 10 tensors, got {len(tensors)}"
+        c1, g1, b1, m1, v1, c2, g2, b2, m2, v2 = tensors
+        params = {
+            "conv1": {"w": jnp.asarray(c1.transpose(2, 3, 1, 0))},
+            "bn1": {"scale": jnp.asarray(g1), "bias": jnp.asarray(b1)},
+            "conv2": {"w": jnp.asarray(c2.transpose(2, 3, 1, 0))},
+            "bn2": {"scale": jnp.asarray(g2), "bias": jnp.asarray(b2)},
+        }
+        state = {
+            "bn1": BNState(jnp.asarray(m1), jnp.asarray(v1)),
+            "bn2": BNState(jnp.asarray(m2), jnp.asarray(v2)),
+        }
+        return params, state
+
+    params: Params = {}
+    state: State = {}
+    for block in ["inc", "down1", "down2", "down3", "down4"]:
+        tensors = [v for _, v in groups[block]]
+        params[block], state[block] = parse_double_conv(tensors)
+    for block in ["up1", "up2", "up3", "up4"]:
+        tensors = [v for _, v in groups[block]]
+        if config.bilinear:
+            conv_p, conv_s = parse_double_conv(tensors)
+            params[block], state[block] = {"conv": conv_p}, {"conv": conv_s}
+        else:
+            upw, upb = tensors[0], tensors[1]
+            conv_p, conv_s = parse_double_conv(tensors[2:])
+            params[block] = {
+                # torch ConvT weight (I, O, kH, kW) -> HWIO
+                "up": {"w": jnp.asarray(upw.transpose(2, 3, 0, 1)), "b": jnp.asarray(upb)},
+                "conv": conv_p,
+            }
+            state[block] = {"conv": conv_s}
+    outw, outb = [v for _, v in groups["outc"]]
+    params["outc"] = {"w": jnp.asarray(outw.transpose(2, 3, 1, 0)), "b": jnp.asarray(outb)}
+    return params, state, mask_values

@@ -1,0 +1,65 @@
+"""Validation loop with reference metric semantics.
+
+Parity target (reference: evaluate.py — evaluate(net, dataloader, device,
+amp); UNVERIFIED mount, SURVEY.md §2 #16 / §3.4):
+
+  * binary (n_classes == 1): (sigmoid(pred) > 0.5) → dice_coeff vs float mask;
+  * multiclass: one_hot(argmax(pred)) vs one_hot(mask), both EXCLUDING the
+    background channel 0, → multiclass_dice_coeff;
+  * mean over val batches (÷ max(num_batches, 1)).
+
+TPU-first: the per-batch metric is a jitted pure function (inference mode =
+eval-mode BN, no state update); only the scalar Dice crosses back to host.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from tpu_unet.losses import dice_coeff, iou_coeff, multiclass_dice_coeff
+from tpu_unet.models import UNetConfig, unet_apply
+
+
+@functools.partial(jax.jit, static_argnames=("config", "amp"))
+def eval_step(params, state, images, masks, *, config: UNetConfig, amp: bool = False):
+    """Dice (+IoU) for one validation batch. images NHWC, masks NHW int."""
+    logits, _ = unet_apply(
+        params,
+        state,
+        images,
+        config=config,
+        train=False,
+        compute_dtype=jnp.bfloat16 if amp else None,
+    )
+    if config.n_classes == 1:
+        pred = (jax.nn.sigmoid(logits[..., 0]) > 0.5).astype(jnp.float32)
+        tgt = masks.astype(jnp.float32)
+        return dice_coeff(pred, tgt, reduce_batch_first=False), iou_coeff(pred, tgt)
+    else:
+        pred_oh = jax.nn.one_hot(jnp.argmax(logits, axis=-1), config.n_classes)
+        mask_oh = jax.nn.one_hot(masks, config.n_classes)
+        # Background channel excluded, as the reference does.
+        return (
+            multiclass_dice_coeff(pred_oh[..., 1:], mask_oh[..., 1:], reduce_batch_first=False),
+            iou_coeff(pred_oh[..., 1:], mask_oh[..., 1:]),
+        )
+
+
+def evaluate(params, state, dataloader, config: UNetConfig, amp: bool = False):
+    """Mean validation Dice over the loader (reference signature analog)."""
+    total_dice = 0.0
+    total_iou = 0.0
+    n = 0
+    for batch in dataloader:
+        d, i = eval_step(
+            params, state, jnp.asarray(batch["image"]), jnp.asarray(batch["mask"]),
+            config=config, amp=amp,
+        )
+        total_dice += float(d)
+        total_iou += float(i)
+        n += 1
+    n = max(n, 1)
+    return total_dice / n, total_iou / n

@@ -1,0 +1,56 @@
+"""Model-hub entry points (reference: hubconf.py — unet_carvana(pretrained,
+scale), UNVERIFIED mount, SURVEY.md §2 #20).
+
+The reference exposes ``torch.hub.load(..., 'unet_carvana', pretrained=True,
+scale=0.5)`` fetching released Carvana weights. This environment has zero
+egress (SURVEY.md §A.2), so ``pretrained=True`` accepts a local weights file
+instead: either our .npz checkpoints or the reference's released .pth
+(imported through tpu_unet.checkpoint.import_pth — same weights, translated
+layouts). With a remote URL and network available, torch.hub's cache dir is
+honored.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+from tpu_unet.models import UNetConfig, init_unet
+
+_RELEASE_URLS = {
+    # The upstream publishes scale-0.5 and scale-1.0 Carvana checkpoints via
+    # GitHub releases (SURVEY.md §2 #20); resolution requires network.
+    0.5: "unet_carvana_scale0.5_epoch2.pth",
+    1.0: "unet_carvana_scale1.0_epoch2.pth",
+}
+
+
+def unet_carvana(pretrained: bool = False, scale: float = 0.5, weights_path: str | None = None):
+    """Build the Carvana U-Net (3 ch in, 2 classes, transposed-conv decoder).
+
+    Returns (params, state, config, mask_values). ``weights_path`` (or env
+    TPU_UNET_WEIGHTS) points at a local .npz/.pth; required for
+    pretrained=True since there is no network egress here.
+    """
+    config = UNetConfig(n_channels=3, n_classes=2, bilinear=False)
+    import jax
+
+    params, state = init_unet(jax.random.PRNGKey(0), config)
+    mask_values = None
+    if pretrained:
+        path = weights_path or os.environ.get("TPU_UNET_WEIGHTS")
+        if not path:
+            raise RuntimeError(
+                "pretrained=True needs a local weights file (no network egress): "
+                f"pass weights_path= or set TPU_UNET_WEIGHTS. Upstream release file: "
+                f"{_RELEASE_URLS.get(scale)}"
+            )
+        if str(path).endswith(".pth"):
+            from tpu_unet.checkpoint import import_pth
+
+            params, state, mask_values = import_pth(path, config)
+        else:
+            from tpu_unet.checkpoint import load_checkpoint
+
+            params, state, mask_values, _ = load_checkpoint(path, params, state)
+    return params, state, config, mask_values

@@ -164,7 +164,10 @@ def _up_apply(params, state, x1, x2, *, bilinear: bool, train: bool, axis_name=N
         x1 = (up + params["up"]["b"].astype(jnp.float32)).astype(x1.dtype)
     x1 = pad_to_match(x1, x2)
     x = jnp.concatenate([x2, x1], axis=-1)
-    return _double_conv_apply(params["conv"], state["conv"], x, train=train, axis_name=axis_name)
+    out, conv_state = _double_conv_apply(
+        params["conv"], state["conv"], x, train=train, axis_name=axis_name
+    )
+    return out, {"conv": conv_state}
 
 
 def unet_apply(

@@ -58,8 +58,11 @@ def batch_norm(
     if train:
         xf = x.astype(jnp.float32)
         mean = jnp.mean(xf, axis=(0, 1, 2))
-        # Biased variance for normalization (torch semantics).
-        var = jnp.mean(jnp.square(xf), axis=(0, 1, 2)) - jnp.square(mean)
+        # Biased variance for normalization (torch semantics). Two-pass form:
+        # E[(x-μ)²] avoids the E[x²]−E[x]² cancellation, which otherwise makes
+        # gradients sensitive to reduction order (visible as sharded-vs-single
+        # device drift in the DP invariance tests).
+        var = jnp.mean(jnp.square(xf - mean), axis=(0, 1, 2))
         n = x.shape[0] * x.shape[1] * x.shape[2]
         if axis_name is not None:
             mean = jax.lax.pmean(mean, axis_name)

@@ -33,8 +33,12 @@ class RMSpropState(NamedTuple):
 
 
 def rmsprop_init(params: Any) -> RMSpropState:
-    zeros = jax.tree.map(lambda p: jnp.zeros_like(p, dtype=jnp.float32), params)
-    return RMSpropState(square_avg=zeros, momentum_buf=zeros)
+    # Two independent zero trees — sharing one would alias buffers, which
+    # breaks donation in jitted steps (same buffer donated twice).
+    return RMSpropState(
+        square_avg=jax.tree.map(lambda p: jnp.zeros_like(p, dtype=jnp.float32), params),
+        momentum_buf=jax.tree.map(lambda p: jnp.zeros_like(p, dtype=jnp.float32), params),
+    )
 
 
 def rmsprop_update(

@@ -1,0 +1,3 @@
+from tpu_unet.parallel.mesh import batch_sharding, make_mesh, replicated
+
+__all__ = ["batch_sharding", "make_mesh", "replicated"]

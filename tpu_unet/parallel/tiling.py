@@ -1,0 +1,188 @@
+"""Tiled sliding-window inference with overlap-halo stitching.
+
+The reference has NO tiled inference — predict runs the full image through the
+net and re-upscales the logits (SURVEY.md §5 "long-context" note). Spatial
+tiling is this framework's analog of sequence parallelism (north-star config
+#4: 2048² images): large images are processed as fixed-size windows whose
+cores stitch back EXACTLY to the full-image output.
+
+Exactness argument (tests/test_tiling.py asserts it):
+  * every processed window has static shape tile+2·halo, positioned at
+    ``clip(core_start − halo, 0, H − (tile+2·halo))`` — interior cores sit ≥
+    halo from the window edge, so with halo ≥ the one-sided receptive field
+    (110 px measured empirically for the 4-level U-Net; use halo ≥ 128 for margin) the window boundary
+    cannot influence them; clamped windows END AT THE TRUE IMAGE EDGE, where
+    the window's conv zero-padding coincides with the full image's.
+  * window starts stay ≡ 0 (mod 16) so all four pooling grids align with the
+    full-image grids (translation invariance holds in steps of 16).
+  * requires H, W ≡ 0 (mod 16) — true for the 2048² target; unaligned sizes
+    fall back to full-image forward in predict.
+
+Multi-device: the image is split into horizontal bands over a 1-D 'spatial'
+mesh inside ``shard_map``; each device ``ppermute``s its boundary rows to its
+neighbours over ICI (2·halo rows up and down), assembles its window with a
+static-shape dynamic slice, runs the net, and emits its core band — the
+out_spec concatenation IS the stitched image. One collective pair per step,
+overlapped by XLA with the convs.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from tpu_unet.models import UNetConfig, unet_apply
+
+# One-sided receptive field of the 4-level U-Net (computed layer by layer in
+# the module docstring's derivation): 110 px one-sided,
+# measured empirically by input-gradient support. 128 gives an 18 px margin
+# against per-position alignment asymmetry of the align-corners upsample.
+DEFAULT_HALO = 128
+
+
+def _check_alignment(h, w, tile, halo):
+    for name, v in (("H", h), ("W", w), ("tile", tile), ("halo", halo)):
+        if v % 16 != 0:
+            raise ValueError(f"{name}={v} must be a multiple of 16 for exact tiling")
+    if tile + 2 * halo > min(h, w):
+        raise ValueError(
+            f"window {tile}+2·{halo} exceeds image {h}×{w}; use a larger tile "
+            "or full-image inference"
+        )
+
+
+@functools.partial(jax.jit, static_argnames=("config", "amp"))
+def _run_window(params, state, xw, *, config: UNetConfig, amp: bool):
+    # Module-level jit → one compile per window shape, shared across calls.
+    logits, _ = unet_apply(
+        params, state, xw, config=config, train=False,
+        compute_dtype=jnp.bfloat16 if amp else None,
+    )
+    return logits
+
+
+def tiled_forward(
+    params,
+    state,
+    x: jax.Array,
+    *,
+    config: UNetConfig,
+    tile: int = 512,
+    halo: int = DEFAULT_HALO,
+    amp: bool = False,
+) -> jax.Array:
+    """Single-device exact tiled forward. x: [N,H,W,C] -> logits [N,H,W,classes].
+
+    All windows share one static shape → ONE compiled program regardless of
+    image size; windows stream through the device so peak HBM is O(window),
+    not O(image) — this is what lets 2048²+ inputs run on one chip.
+    """
+    n, h, w, c = x.shape
+    _check_alignment(h, w, tile, halo)
+    win = tile + 2 * halo
+
+    out = np.zeros((n, h, w, config.n_classes), np.float32)
+    for ay in range(0, h, tile):
+        sy = min(max(ay - halo, 0), h - win)
+        for ax in range(0, w, tile):
+            sx = min(max(ax - halo, 0), w - win)
+            window = lax.dynamic_slice(x, (0, sy, sx, 0), (n, win, win, c))
+            logits = _run_window(params, state, window, config=config, amp=amp)
+            core = logits[:, ay - sy : ay - sy + tile, ax - sx : ax - sx + tile]
+            out[:, ay : ay + tile, ax : ax + tile] = np.asarray(core)
+    return jnp.asarray(out)
+
+
+def make_halo_sharded_forward(
+    mesh: Mesh,
+    config: UNetConfig,
+    *,
+    halo: int = DEFAULT_HALO,
+    amp: bool = False,
+    axis: str = "spatial",
+):
+    """Build a jitted multi-device forward: image bands sharded over ``axis``,
+    halo rows exchanged with ICI collective-permute, cores stitched by the
+    out_spec. Returns fn(params, state, x[N,H,W,C]) -> logits[N,H,W,classes].
+    """
+    d = mesh.shape[axis]
+    compute_dtype = jnp.bfloat16 if amp else None
+
+    def band_fn(params, state, xb):
+        # xb: [N, B, W, C] — this device's band.
+        n, b, w, c = xb.shape
+        h = b * d
+        win = b + 2 * halo
+        for name, v in (("band", b), ("halo", halo), ("W", w)):
+            if v % 16 != 0:
+                raise ValueError(f"{name}={v} must be a multiple of 16 for exact tiling")
+        if win > h:
+            raise ValueError(f"window {win} exceeds image height {h}")
+        if 2 * halo > b:
+            raise ValueError(
+                f"band {b} must be ≥ 2·halo={2 * halo} (each device exchanges "
+                "2·halo rows with each neighbour); use fewer devices or a taller image"
+            )
+        i = lax.axis_index(axis)
+
+        fwd = [(k, (k + 1) % d) for k in range(d)]
+        bwd = [(k, (k - 1) % d) for k in range(d)]
+        from_prev = lax.ppermute(xb[:, -2 * halo :], axis, fwd)   # rows [iB-2h, iB)
+        from_next = lax.ppermute(xb[:, : 2 * halo], axis, bwd)    # rows [(i+1)B, (i+1)B+2h)
+        ext = jnp.concatenate([from_prev, xb, from_next], axis=1)  # [iB-2h, (i+1)B+2h)
+
+        band_start = i * b
+        win_start = jnp.clip(band_start - halo, 0, h - win)  # global window start
+        offset = win_start - (band_start - 2 * halo)  # row offset inside ext
+        window = lax.dynamic_slice(ext, (0, offset, 0, 0), (n, win, w, c))
+
+        logits, _ = unet_apply(
+            params, state, window, config=config, train=False,
+            compute_dtype=compute_dtype,
+        )
+        core = lax.dynamic_slice(
+            logits, (0, band_start - win_start, 0, 0), (n, b, w, config.n_classes)
+        )
+        return core
+
+    sharded = shard_map(
+        band_fn,
+        mesh=mesh,
+        in_specs=(P(), P(), P(None, axis)),
+        out_specs=P(None, axis),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def predict_img_tiled(
+    params, state, config: UNetConfig, full_img, *,
+    tile: int = 512, halo: int = DEFAULT_HALO,
+    scale_factor: float = 0.5, out_threshold: float = 0.5, amp: bool = False,
+):
+    """Tiled analog of predict_img: preprocess → tiled forward → upscale
+    logits to original size → threshold/argmax (reference order preserved)."""
+    from tpu_unet.data.loading import BasicDataset
+    from tpu_unet.ops import resize_bilinear
+
+    img = BasicDataset.preprocess(None, full_img, scale_factor, is_mask=False)
+    x = jnp.asarray(img)[None]
+    h, w = x.shape[1], x.shape[2]
+    if h % 16 or w % 16 or tile + 2 * halo > min(h, w):
+        # Unaligned/small: exactness contract unavailable — full-image forward.
+        logits, _ = unet_apply(params, state, x, config=config, train=False,
+                               compute_dtype=jnp.bfloat16 if amp else None)
+    else:
+        logits = tiled_forward(params, state, x, config=config, tile=tile, halo=halo, amp=amp)
+    full_w, full_h = full_img.size
+    logits = resize_bilinear(logits, full_h, full_w, align_corners=False)
+    if config.n_classes > 1:
+        return np.asarray(jnp.argmax(logits, axis=-1)[0])
+    return np.asarray(jax.nn.sigmoid(logits[0, ..., 0]) > out_threshold)

@@ -1,0 +1,173 @@
+"""Inference driver + CLI, mirroring the reference's predict surface.
+
+Parity targets (reference: predict.py — predict_img, get_args, mask_to_image,
+__main__; UNVERIFIED mount, SURVEY.md §2 #17–#18, §3.2):
+
+  * predict_img: shared BasicDataset.preprocess → forward → bilinear
+    (half-pixel) upscale of LOGITS back to the ORIGINAL resolution → only
+    then threshold (sigmoid > out_threshold) or argmax. The order matters
+    for mask parity and is reproduced exactly.
+  * CLI: --model/-m, --input/-i (nargs+), --output/-o, --viz/-v,
+    --no-save/-n, --mask-threshold/-t 0.5, --scale/-s 0.5, --bilinear,
+    --classes/-c; outputs default to ``<input>_OUT.png``.
+  * mask_to_image maps class indices through the checkpoint's mask_values
+    palette (the quirky-but-load-bearing contract, SURVEY.md §5).
+
+TPU-native: forward+upscale+threshold is one jitted program per input shape;
+for large inputs, tiled sliding-window inference with halo stitching lives in
+tpu_unet/parallel/tiling.py (--tile to opt in).
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import logging
+import os
+from pathlib import Path
+
+import numpy as np
+from PIL import Image
+
+import jax
+import jax.numpy as jnp
+
+from tpu_unet.checkpoint import import_pth, load_checkpoint
+from tpu_unet.data.loading import BasicDataset
+from tpu_unet.models import UNetConfig, init_unet, unet_apply
+from tpu_unet.ops import resize_bilinear
+
+logger = logging.getLogger(__name__)
+
+
+@functools.partial(jax.jit, static_argnames=("config", "full_h", "full_w", "amp"))
+def _forward_full(params, state, x, *, config: UNetConfig, full_h: int, full_w: int, amp: bool = False):
+    logits, _ = unet_apply(
+        params, state, x, config=config, train=False,
+        compute_dtype=jnp.bfloat16 if amp else None,
+    )
+    # Upscale LOGITS to the original size first (reference order, §3.2).
+    return resize_bilinear(logits, full_h, full_w, align_corners=False)
+
+
+def predict_img(
+    params,
+    state,
+    config: UNetConfig,
+    full_img: Image.Image,
+    scale_factor: float = 0.5,
+    out_threshold: float = 0.5,
+    amp: bool = False,
+) -> np.ndarray:
+    """Predict a mask for one PIL image at its ORIGINAL resolution."""
+    img = BasicDataset.preprocess(None, full_img, scale_factor, is_mask=False)
+    x = jnp.asarray(img)[None]  # [1,H,W,C]
+    full_w, full_h = full_img.size
+    logits = _forward_full(
+        params, state, x, config=config, full_h=full_h, full_w=full_w, amp=amp
+    )
+    if config.n_classes > 1:
+        mask = jnp.argmax(logits, axis=-1)[0]
+        return np.asarray(mask)
+    else:
+        probs = jax.nn.sigmoid(logits[0, ..., 0])
+        return np.asarray(probs > out_threshold)
+
+
+def mask_to_image(mask: np.ndarray, mask_values) -> Image.Image:
+    """Map class indices back through the stored palette (reference parity)."""
+    if isinstance(mask_values[0], list):
+        out = np.zeros((mask.shape[-2], mask.shape[-1], len(mask_values[0])), dtype=np.uint8)
+    elif mask_values == [0, 1]:
+        out = np.zeros((mask.shape[-2], mask.shape[-1]), dtype=bool)
+    else:
+        out = np.zeros((mask.shape[-2], mask.shape[-1]), dtype=np.uint8)
+
+    if mask.ndim == 3:  # one-hot [C,H,W] → indices
+        mask = np.argmax(mask, axis=0)
+
+    for i, v in enumerate(mask_values):
+        out[mask == i] = v
+    return Image.fromarray(out)
+
+
+def get_args(argv=None):
+    parser = argparse.ArgumentParser(description="Predict masks from input images")
+    parser.add_argument("--model", "-m", default="MODEL.npz", metavar="FILE",
+                        help="Specify the file in which the model is stored (.npz or torch .pth)")
+    parser.add_argument("--input", "-i", metavar="INPUT", nargs="+", required=True,
+                        help="Filenames of input images")
+    parser.add_argument("--output", "-o", metavar="OUTPUT", nargs="+", help="Filenames of output images")
+    parser.add_argument("--viz", "-v", action="store_true",
+                        help="Visualize the images as they are processed")
+    parser.add_argument("--no-save", "-n", action="store_true", help="Do not save the output masks")
+    parser.add_argument("--mask-threshold", "-t", type=float, default=0.5,
+                        help="Minimum probability value to consider a mask pixel white")
+    parser.add_argument("--scale", "-s", type=float, default=0.5,
+                        help="Scale factor for the input images")
+    parser.add_argument("--bilinear", action="store_true", default=False, help="Use bilinear upsampling")
+    parser.add_argument("--classes", "-c", type=int, default=1, help="Number of classes")
+    # TPU-framework extensions:
+    parser.add_argument("--amp", action="store_true", default=False, help="bf16 inference")
+    parser.add_argument("--tile", type=int, default=None,
+                        help="Tiled sliding-window inference with this tile size (large images)")
+    return parser.parse_args(argv)
+
+
+def get_output_filenames(args):
+    def _generate_name(fn):
+        return f"{os.path.splitext(fn)[0]}_OUT.png"
+
+    return args.output or list(map(_generate_name, args.input))
+
+
+def main(argv=None):
+    args = get_args(argv)
+    logging.basicConfig(level=logging.INFO, format="%(levelname)s: %(message)s")
+    in_files = args.input
+    out_files = get_output_filenames(args)
+
+    config = UNetConfig(n_channels=3, n_classes=args.classes, bilinear=args.bilinear)
+    params, state = init_unet(jax.random.PRNGKey(0), config)
+    logger.info("Loading model %s", args.model)
+    if str(args.model).endswith(".pth"):
+        params, state, mask_values = import_pth(args.model, config)
+    else:
+        params, state, mask_values, _ = load_checkpoint(args.model, params, state)
+    if mask_values is None:
+        mask_values = [0, 1] if args.classes == 1 else list(range(args.classes))
+    logger.info("Model loaded!")
+
+    for i, filename in enumerate(in_files):
+        logger.info("Predicting image %s ...", filename)
+        img = Image.open(filename)
+
+        if args.tile:
+            from tpu_unet.parallel.tiling import predict_img_tiled
+
+            mask = predict_img_tiled(
+                params, state, config, img,
+                tile=args.tile, scale_factor=args.scale,
+                out_threshold=args.mask_threshold, amp=args.amp,
+            )
+        else:
+            mask = predict_img(
+                params, state, config, img,
+                scale_factor=args.scale, out_threshold=args.mask_threshold, amp=args.amp,
+            )
+
+        if not args.no_save:
+            out_filename = out_files[i]
+            result = mask_to_image(mask, mask_values)
+            result.save(out_filename)
+            logger.info("Mask saved to %s", out_filename)
+
+        if args.viz:
+            from tpu_unet.utils.viz import plot_img_and_mask
+
+            logger.info("Visualizing results for image %s, close to continue...", filename)
+            plot_img_and_mask(img, mask)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,315 @@
+"""Training driver + CLI, mirroring the reference's public surface.
+
+Parity targets (reference: train.py — train_model, get_args, __main__;
+UNVERIFIED mount, SURVEY.md §2 #13–#15, §3.1):
+
+  * CLI flags: --epochs/-e 5, --batch-size/-b 1, --learning-rate/-l 1e-5,
+    --load/-f, --scale/-s 0.5, --validation/-v 10.0, --amp, --bilinear,
+    --classes/-c 1 (plus TPU-framework extras, kept additive).
+  * Loss: CrossEntropy + multiclass Dice (n_classes>1) else BCEWithLogits +
+    binary Dice on the squeezed channel.
+  * RMSprop(lr, weight_decay=1e-8, momentum=0.999), grad-clip 1.0,
+    ReduceLROnPlateau('max', patience=5) on val Dice, validation 5×/epoch
+    (division_step = n_train // (5·batch_size)), per-epoch checkpoint
+    carrying mask_values, optional W&B logging.
+  * OOM fallback: the reference catches torch.cuda.OutOfMemoryError and
+    retries once with activation checkpointing; here we catch XLA
+    RESOURCE_EXHAUSTED and retry once with remat=True.
+
+TPU-native design: ONE jitted train step (fwd+loss+bwd+clip+RMSprop fused
+into a single XLA program, donated buffers, lr as a traced scalar so plateau
+updates never recompile). AMP = bf16 compute; no GradScaler needed — bf16
+keeps fp32 exponent range, so the reference's loss-scaling machinery has no
+TPU counterpart by design. Data parallelism is GSPMD: params replicated,
+batch sharded over a 1-D mesh; XLA emits the ICI psum.
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import logging
+import os
+import time
+from pathlib import Path
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from tpu_unet.checkpoint import import_pth, load_checkpoint, save_checkpoint
+from tpu_unet.data import (
+    BasicDataset,
+    CarvanaDataset,
+    DataLoader,
+    prefetch_to_device,
+    random_split_indices,
+)
+from tpu_unet.evaluate import evaluate
+from tpu_unet.losses import bce_with_logits, cross_entropy, dice_loss
+from tpu_unet.models import UNetConfig, init_unet, param_count, unet_apply
+from tpu_unet.optim import ReduceLROnPlateau, clip_grad_norm, rmsprop_init, rmsprop_update
+from tpu_unet.parallel.mesh import batch_sharding, make_mesh, replicated
+
+logger = logging.getLogger(__name__)
+
+dir_img = Path("./data/imgs/")
+dir_mask = Path("./data/masks/")
+dir_checkpoint = Path("./checkpoints/")
+
+
+def compute_loss(logits, masks, n_classes: int):
+    """The reference's combined criterion (SURVEY.md §3.1 hot loop)."""
+    if n_classes == 1:
+        logit = logits[..., 0]
+        mask_f = masks.astype(jnp.float32)
+        return bce_with_logits(logit, mask_f) + dice_loss(
+            jax.nn.sigmoid(logit), mask_f, multiclass=False
+        )
+    else:
+        mask_oh = jax.nn.one_hot(masks, n_classes, dtype=jnp.float32)
+        return cross_entropy(logits, masks) + dice_loss(
+            jax.nn.softmax(logits, axis=-1), mask_oh, multiclass=True
+        )
+
+
+def make_train_step(
+    config: UNetConfig,
+    *,
+    amp: bool = False,
+    remat: bool = False,
+    weight_decay: float = 1e-8,
+    momentum: float = 0.999,
+    grad_clip: float = 1.0,
+):
+    """Build the single fused train step: fwd+loss+bwd+clip+RMSprop."""
+    compute_dtype = jnp.bfloat16 if amp else None
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+    def train_step(params, bn_state, opt_state, images, masks, lr):
+        def loss_fn(p):
+            logits, new_bn = unet_apply(
+                p, bn_state, images, config=config, train=True,
+                compute_dtype=compute_dtype, remat=remat,
+            )
+            return compute_loss(logits, masks, config.n_classes), new_bn
+
+        (loss, new_bn), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        grads, gnorm = clip_grad_norm(grads, grad_clip)
+        new_params, new_opt = rmsprop_update(
+            grads, opt_state, params, lr,
+            weight_decay=weight_decay, momentum=momentum,
+        )
+        return new_params, new_bn, new_opt, loss, gnorm
+
+    return train_step
+
+
+def train_model(
+    params,
+    bn_state,
+    config: UNetConfig,
+    *,
+    dataset,
+    epochs: int = 5,
+    batch_size: int = 1,
+    learning_rate: float = 1e-5,
+    val_percent: float = 0.1,
+    save_checkpoint_flag: bool = True,
+    amp: bool = False,
+    weight_decay: float = 1e-8,
+    momentum: float = 0.999,
+    gradient_clipping: float = 1.0,
+    remat: bool = False,
+    data_parallel: bool = False,
+    use_wandb: bool = False,
+    checkpoint_dir: Path = dir_checkpoint,
+    seed: int = 0,
+):
+    """The reference's train_model, TPU-native. Returns (params, bn_state, history)."""
+    # 1–2. Split into train / validation partitions (torch randperm parity).
+    train_idx, val_idx = random_split_indices(len(dataset), val_percent, seed=seed)
+    n_train, n_val = len(train_idx), len(val_idx)
+
+    # 3. Data loaders: host decode threads + device double-buffer prefetch.
+    train_loader = DataLoader(
+        dataset, batch_size, shuffle=True, indices=train_idx, seed=seed,
+        drop_last=data_parallel,  # static sharded shapes under DP
+    )
+    val_loader = DataLoader(dataset, batch_size, shuffle=False, indices=val_idx)
+
+    sharding = None
+    if data_parallel and jax.device_count() > 1:
+        mesh = make_mesh()
+        sharding = batch_sharding(mesh)
+        rep = replicated(mesh)
+        params = jax.device_put(params, rep)
+        bn_state = jax.device_put(bn_state, rep)
+
+    experiment = None
+    if use_wandb:
+        try:
+            import wandb
+
+            os.environ.setdefault("WANDB_MODE", "offline")
+            experiment = wandb.init(project="U-Net", resume="allow", anonymous="must")
+            experiment.config.update(
+                dict(epochs=epochs, batch_size=batch_size, learning_rate=learning_rate,
+                     val_percent=val_percent, amp=amp)
+            )
+        except Exception as e:  # wandb genuinely optional (no network here)
+            logger.warning("wandb unavailable (%s); continuing without it", e)
+
+    logger.info(
+        "Starting training: epochs=%d batch=%d lr=%g train=%d val=%d amp=%s devices=%d",
+        epochs, batch_size, learning_rate, n_train, n_val, amp, jax.device_count(),
+    )
+
+    opt_state = rmsprop_init(params)
+    if sharding is not None:
+        opt_state = jax.device_put(opt_state, replicated(sharding.mesh))
+    scheduler = ReduceLROnPlateau(lr=learning_rate, mode="max", patience=5)
+    train_step = make_train_step(
+        config, amp=amp, remat=remat, weight_decay=weight_decay,
+        momentum=momentum, grad_clip=gradient_clipping,
+    )
+
+    history = {"train_loss": [], "val_dice": [], "lr": []}
+    global_step = 0
+    division_step = n_train // (5 * batch_size)
+
+    for epoch in range(1, epochs + 1):
+        epoch_loss = 0.0
+        feed = prefetch_to_device(train_loader, buffer_size=2, sharding=sharding)
+        for batch in feed:
+            images = jnp.asarray(batch["image"])
+            masks = jnp.asarray(batch["mask"])
+            params, bn_state, opt_state, loss, _ = train_step(
+                params, bn_state, opt_state, images, masks,
+                jnp.float32(scheduler.lr),
+            )
+            global_step += 1
+            loss_val = float(loss)
+            epoch_loss += loss_val
+            history["train_loss"].append(loss_val)
+            if experiment:
+                experiment.log({"train loss": loss_val, "step": global_step, "epoch": epoch})
+
+            # Validation 5×/epoch, reference cadence.
+            if division_step > 0 and global_step % division_step == 0:
+                val_dice, val_iou = evaluate(params, bn_state, val_loader, config, amp)
+                lr_now = scheduler.step(val_dice)
+                history["val_dice"].append(val_dice)
+                history["lr"].append(lr_now)
+                logger.info("Validation Dice score: %f (IoU %f)", val_dice, val_iou)
+                if experiment:
+                    experiment.log({
+                        "learning rate": lr_now, "validation Dice": val_dice,
+                        "validation IoU": val_iou, "step": global_step, "epoch": epoch,
+                    })
+
+        logger.info("Epoch %d finished, mean loss %f", epoch, epoch_loss / max(len(train_loader), 1))
+        if save_checkpoint_flag:
+            checkpoint_dir.mkdir(parents=True, exist_ok=True)
+            save_checkpoint(
+                checkpoint_dir / f"checkpoint_epoch{epoch}.npz",
+                params, bn_state,
+                mask_values=getattr(dataset, "mask_values", None),
+                extra={"epoch": epoch, "lr": scheduler.lr},
+            )
+            logger.info("Checkpoint %d saved!", epoch)
+
+    return params, bn_state, history
+
+
+def get_args(argv=None):
+    parser = argparse.ArgumentParser(description="Train the UNet on images and target masks")
+    parser.add_argument("--epochs", "-e", metavar="E", type=int, default=5, help="Number of epochs")
+    parser.add_argument("--batch-size", "-b", dest="batch_size", metavar="B", type=int, default=1, help="Batch size")
+    parser.add_argument("--learning-rate", "-l", metavar="LR", type=float, default=1e-5, dest="lr", help="Learning rate")
+    parser.add_argument("--load", "-f", type=str, default=False, help="Load model from a .npz/.pth file")
+    parser.add_argument("--scale", "-s", type=float, default=0.5, help="Downscaling factor of the images")
+    parser.add_argument("--validation", "-v", dest="val", type=float, default=10.0,
+                        help="Percent of the data that is used as validation (0-100)")
+    parser.add_argument("--amp", action="store_true", default=False, help="Use mixed precision (bf16 on TPU)")
+    parser.add_argument("--bilinear", action="store_true", default=False, help="Use bilinear upsampling")
+    parser.add_argument("--classes", "-c", type=int, default=1, help="Number of classes")
+    # TPU-framework extensions (additive, not in the reference CLI):
+    parser.add_argument("--data-parallel", action="store_true", default=False,
+                        help="Shard the batch across all visible TPU devices (GSPMD)")
+    parser.add_argument("--checkpoint-dir", type=str, default=str(dir_checkpoint))
+    parser.add_argument("--data-dir", type=str, default="./data")
+    parser.add_argument("--wandb", action="store_true", default=False, help="Enable W&B logging (offline by default)")
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--profile", type=str, default=None,
+                        help="Write a jax.profiler trace to this directory")
+    parser.add_argument("--debug-nans", action="store_true", default=False)
+    return parser.parse_args(argv)
+
+
+def main(argv=None):
+    args = get_args(argv)
+    logging.basicConfig(level=logging.INFO, format="%(levelname)s: %(message)s")
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
+
+    config = UNetConfig(n_channels=3, n_classes=args.classes, bilinear=args.bilinear)
+    logger.info(
+        "Network:\n\t%d input channels\n\t%d output channels (classes)\n\t%s upscaling",
+        config.n_channels, config.n_classes,
+        "Bilinear" if config.bilinear else "Transposed conv",
+    )
+
+    params, bn_state = init_unet(jax.random.PRNGKey(args.seed), config)
+    logger.info("Model parameters: %.1fM", param_count(params) / 1e6)
+
+    if args.load:
+        if str(args.load).endswith(".pth"):
+            params, bn_state, _ = import_pth(args.load, config)
+        else:
+            params, bn_state, _, _ = load_checkpoint(args.load, params, bn_state)
+        logger.info("Model loaded from %s", args.load)
+
+    data_dir = Path(args.data_dir)
+    try:
+        dataset = CarvanaDataset(data_dir / "imgs", data_dir / "masks", args.scale)
+    except (AssertionError, RuntimeError, IndexError):
+        dataset = BasicDataset(data_dir / "imgs", data_dir / "masks", args.scale)
+
+    def run(remat: bool):
+        return train_model(
+            params, bn_state, config,
+            dataset=dataset,
+            epochs=args.epochs,
+            batch_size=args.batch_size,
+            learning_rate=args.lr,
+            val_percent=args.val / 100,
+            amp=args.amp,
+            remat=remat,
+            data_parallel=args.data_parallel,
+            use_wandb=args.wandb,
+            checkpoint_dir=Path(args.checkpoint_dir),
+            seed=args.seed,
+        )
+
+    if args.profile:
+        jax.profiler.start_trace(args.profile)
+    try:
+        run(remat=False)
+    except Exception as e:  # XLA OOM → remat retry, the reference's fallback
+        if "RESOURCE_EXHAUSTED" in str(e) or "Out of memory" in str(e):
+            logger.error(
+                "Detected OOM! Enabling activation checkpointing (remat) and retrying. "
+                "Consider reducing --batch-size or --scale."
+            )
+            run(remat=True)
+        else:
+            raise
+    finally:
+        if args.profile:
+            jax.profiler.stop_trace()
+
+
+if __name__ == "__main__":
+    main()

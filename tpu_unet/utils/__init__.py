@@ -1,0 +1,3 @@
+from tpu_unet.utils.viz import plot_img_and_mask
+
+__all__ = ["plot_img_and_mask"]

@@ -1,0 +1,21 @@
+"""Visualization utility (reference: utils/utils.py — plot_img_and_mask,
+UNVERIFIED mount, SURVEY.md §2 #19): input image + one subplot per class."""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def plot_img_and_mask(img, mask):
+    import matplotlib.pyplot as plt
+
+    mask = np.asarray(mask)
+    classes = int(mask.max()) + 1 if mask.dtype != bool else 2
+    fig, ax = plt.subplots(1, classes + 1)
+    ax[0].set_title("Input image")
+    ax[0].imshow(img)
+    for i in range(classes):
+        ax[i + 1].set_title(f"Mask (class {i + 1})")
+        ax[i + 1].imshow(mask == i)
+    plt.xticks([]), plt.yticks([])
+    plt.show()
