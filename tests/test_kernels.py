@@ -1,0 +1,69 @@
+"""Pallas kernel correctness vs the XLA path (interpret mode on CPU) and the
+folded-BN inference path vs the reference train=False forward."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
+from tpu_unet.kernels.fused_conv import fused_conv3x3_scale_relu
+from tpu_unet.models import UNetConfig, init_unet, unet_apply
+from tpu_unet.models.infer import fold_bn, unet_infer_apply
+from tpu_unet.ops import conv2d
+
+
+@pytest.mark.parametrize("shape,cout", [((1, 16, 24, 8), 16), ((2, 8, 128, 128), 128)])
+def test_fused_conv_matches_xla(rng, shape, cout):
+    x = jnp.asarray(rng.standard_normal(shape, dtype=np.float32))
+    w = jnp.asarray(rng.standard_normal((3, 3, shape[-1], cout), dtype=np.float32) * 0.1)
+    scale = jnp.asarray(rng.standard_normal(cout, dtype=np.float32))
+    bias = jnp.asarray(rng.standard_normal(cout, dtype=np.float32))
+
+    ref = jax.nn.relu(conv2d(x, w, stride=1, padding=1) * scale + bias)
+    with pltpu.force_tpu_interpret_mode():
+        out = fused_conv3x3_scale_relu(x, w, scale, bias)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4, rtol=1e-4)
+
+
+def test_fused_conv_no_relu(rng):
+    x = jnp.asarray(rng.standard_normal((1, 8, 16, 8), dtype=np.float32))
+    w = jnp.asarray(rng.standard_normal((3, 3, 8, 8), dtype=np.float32) * 0.1)
+    ones = jnp.ones(8)
+    zeros = jnp.zeros(8)
+    ref = conv2d(x, w, stride=1, padding=1)
+    with pltpu.force_tpu_interpret_mode():
+        out = fused_conv3x3_scale_relu(x, w, ones, zeros, apply_relu=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize("bilinear", [False, True])
+def test_folded_bn_inference_matches_train_false(bilinear):
+    """fold_bn + unet_infer_apply(xla) ≡ unet_apply(train=False)."""
+    config = UNetConfig(3, 2, bilinear=bilinear, base_channels=8)
+    params, state = init_unet(jax.random.PRNGKey(0), config)
+    # Perturb BN state so folding is non-trivial.
+    state = jax.tree.map(lambda a: a + 0.05 * jnp.arange(a.size, dtype=a.dtype) / a.size, state)
+
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((1, 48, 32, 3), dtype=np.float32)
+    )
+    ref, _ = unet_apply(params, state, x, config=config, train=False)
+    folded = fold_bn(params, state, config)
+    out = unet_infer_apply(folded, x, config=config, backend="xla")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-3, rtol=1e-3)
+
+
+def test_folded_pallas_inference_matches_xla():
+    config = UNetConfig(3, 2, bilinear=True, base_channels=8)
+    params, state = init_unet(jax.random.PRNGKey(0), config)
+    folded = fold_bn(params, state, config)
+    x = jnp.asarray(
+        np.random.default_rng(1).standard_normal((1, 32, 32, 3), dtype=np.float32)
+    )
+    ref = unet_infer_apply(folded, x, config=config, backend="xla")
+    with pltpu.force_tpu_interpret_mode():
+        out = unet_infer_apply(folded, x, config=config, backend="pallas")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-3, rtol=1e-3)

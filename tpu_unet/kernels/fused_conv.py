@@ -1,0 +1,129 @@
+"""Pallas TPU kernel: fused 3×3 conv + (folded-BN) scale/bias + ReLU, NHWC.
+
+This is the TPU-native replacement for what cuDNN did for the reference's
+DoubleConv (reference: unet/unet_parts.py — Conv2d→BatchNorm2d→ReLU, cuDNN
+underneath; SURVEY.md §2.1): one kernel produces the normalized, activated
+output directly — conv epilogue (scale·acc+bias, ReLU) runs on the VPU while
+the 9 shifted matmuls run on the MXU, and the intermediate conv result never
+round-trips to HBM.
+
+Design
+------
+* 3×3 conv as 9 shifted matmuls: for each tap (dy,dx),
+  ``acc += X[dy:dy+TH, dx:dx+W] @ W[dy,dx]`` — each a (TH·W, Cin)×(Cin, COb)
+  MXU contraction with fp32 accumulation. No im2col materialization.
+* Grid (N, H/TH, Cout/COb). The halo rows for a TH-row output slab come from
+  fetching TWO consecutive TH-row input slabs (this Pallas version has no
+  overlapping BlockSpec windows); the host pre-pads H to (HT+1)·TH and W by 1
+  so every slab index is in range. Costs ≤2× input HBM traffic; the op is
+  MXU-bound for Cin ≥ 64 so this does not gate throughput.
+* bf16 in / fp32 accumulate / bf16-or-fp32 out, matching the AMP train path.
+
+Used by the inference path (models/infer.py) with BN folded into (scale,
+bias); correctness is asserted against the XLA path in tests/test_kernels.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _conv_kernel(xa_ref, xb_ref, w_ref, sb_ref, o_ref, *, th, apply_relu):
+    # xa/xb: [1, TH, Wp, Cin] consecutive input slabs; w: [3, 3, Cin, COb];
+    # sb: [2, COb] (scale, bias); o: [1, TH, W, COb].
+    w_out = o_ref.shape[2]
+    cin = xa_ref.shape[-1]
+    cout = o_ref.shape[-1]
+
+    x = jnp.concatenate([xa_ref[0], xb_ref[0, :2]], axis=0)  # [TH+2, Wp, Cin]
+    acc = jnp.zeros((th * w_out, cout), jnp.float32)
+    for dy in range(3):
+        for dx in range(3):
+            patch = x[dy : dy + th, dx : dx + w_out, :].reshape(th * w_out, cin)
+            acc = acc + jnp.dot(
+                patch, w_ref[dy, dx], preferred_element_type=jnp.float32
+            )
+    y = acc * sb_ref[0][None, :] + sb_ref[1][None, :]
+    if apply_relu:
+        y = jnp.maximum(y, 0.0)
+    o_ref[0] = y.reshape(th, w_out, cout).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("apply_relu", "tile_h", "cout_block", "out_dtype")
+)
+def fused_conv3x3_scale_relu(
+    x: jax.Array,
+    w: jax.Array,
+    scale: jax.Array,
+    bias: jax.Array,
+    *,
+    apply_relu: bool = True,
+    tile_h: int = 8,
+    cout_block: int | None = None,
+    out_dtype=None,
+) -> jax.Array:
+    """y = relu(conv3x3_same(x, w) * scale + bias). x: [N,H,W,Cin] → [N,H,W,Cout].
+
+    With BN folded in (scale=γ/√(σ²+ε), bias=β−μ·scale) this is the
+    reference's Conv→BN→ReLU in ONE kernel; with scale=1 it is conv+bias.
+    """
+    n, h, w_in, cin = x.shape
+    cout = w.shape[-1]
+    out_dtype = out_dtype or x.dtype
+
+    th = min(tile_h, h)
+    ht = -(-h // th)  # number of output slabs
+    cob = cout_block or min(cout, 256)
+    ct = -(-cout // cob)
+    if cout % cob:
+        raise ValueError(f"cout {cout} not divisible by cout_block {cob}")
+
+    # Host-side pad: 1 left/top for SAME, right/bottom up to slab grid + halo.
+    pad_h_total = (ht + 1) * th  # slab grid covers [0, (ht+1)·th) rows
+    xp = jnp.pad(
+        x, ((0, 0), (1, pad_h_total - h - 1), (1, 1), (0, 0))
+    )
+    wp = w_in + 2
+
+    sb = jnp.stack([scale.astype(jnp.float32), bias.astype(jnp.float32)])
+
+    grid = (n, ht, ct)
+    out = pl.pallas_call(
+        functools.partial(_conv_kernel, th=th, apply_relu=apply_relu),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, th, wp, cin), lambda b, i, c: (b, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, th, wp, cin), lambda b, i, c: (b, i + 1, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, 3, cin, cob), lambda b, i, c: (0, 0, 0, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, cob), lambda b, i, c: (0, c),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, th, w_in, cob), lambda b, i, c: (b, i, 0, c),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, ht * th, w_in, cout), out_dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 9 * n * ht * th * w_in * cin * cout,
+            bytes_accessed=(
+                xp.size * xp.dtype.itemsize * 2 + w.size * w.dtype.itemsize
+                + n * h * w_in * cout * jnp.dtype(out_dtype).itemsize
+            ),
+            transcendentals=0,
+        ),
+    )(xp, xp, w, sb)
+    return out[:, :h]
+
+
+def _squeeze_slab_kernel(xa_ref, xb_ref, w_ref, sb_ref, o_ref, *, th, apply_relu):
+    # Variant used when a single slab pair covers the whole (small) image.
+    _conv_kernel(xa_ref, xb_ref, w_ref, sb_ref, o_ref, th=th, apply_relu=apply_relu)

@@ -1,0 +1,110 @@
+"""Inference-specialized forward: BN folded into conv scale/bias.
+
+In eval mode BatchNorm is a per-channel affine with frozen stats, so every
+Conv→BN→ReLU of the reference's DoubleConv (SURVEY.md §2 #1) collapses to
+conv + scale·x+bias + ReLU. Folding happens ONCE at load time; the forward
+then runs either through XLA (which fuses the epilogue into the conv) or
+through the Pallas fused kernel (tpu_unet/kernels/fused_conv.py), selected by
+``backend=`` — the reference's cuDNN tier replaced by our own MXU kernels.
+
+Numerics match ``unet_apply(..., train=False)`` to fp32 tolerance
+(tests/test_kernels.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from tpu_unet.models.unet import Params, State, UNetConfig
+from tpu_unet.ops import (
+    conv2d,
+    conv_transpose2d,
+    max_pool2d,
+    pad_to_match,
+    upsample2x_align_corners,
+)
+
+BN_EPS = 1e-5
+
+
+def fold_bn(params: Params, state: State, config: UNetConfig) -> Params:
+    """Fold BN (γ, β, μ, σ²) into per-conv (w, scale, bias) for inference."""
+
+    def fold_double_conv(p, s):
+        out = {}
+        for i in ("1", "2"):
+            gamma = p[f"bn{i}"]["scale"].astype(jnp.float32)
+            beta = p[f"bn{i}"]["bias"].astype(jnp.float32)
+            mean = s[f"bn{i}"].mean
+            var = s[f"bn{i}"].var
+            scale = gamma * jax.lax.rsqrt(var + BN_EPS)
+            out[f"conv{i}"] = {
+                "w": p[f"conv{i}"]["w"],
+                "scale": scale,
+                "bias": beta - mean * scale,
+            }
+        return out
+
+    folded: Params = {"inc": fold_double_conv(params["inc"], state["inc"])}
+    for i in range(1, 5):
+        folded[f"down{i}"] = fold_double_conv(params[f"down{i}"], state[f"down{i}"])
+    for i in range(1, 5):
+        blk = {"conv": fold_double_conv(params[f"up{i}"]["conv"], state[f"up{i}"]["conv"])}
+        if not config.bilinear:
+            blk["up"] = params[f"up{i}"]["up"]
+        folded[f"up{i}"] = blk
+    folded["outc"] = params["outc"]
+    return folded
+
+
+def _fused_conv(x, cw, *, backend):
+    if backend == "pallas":
+        from tpu_unet.kernels.fused_conv import fused_conv3x3_scale_relu
+
+        return fused_conv3x3_scale_relu(x, cw["w"], cw["scale"], cw["bias"])
+    h = conv2d(x, cw["w"], stride=1, padding=1)
+    h = h * cw["scale"] + cw["bias"]
+    return jax.nn.relu(h).astype(x.dtype)
+
+
+def _double_conv(x, p, *, backend):
+    return _fused_conv(_fused_conv(x, p["conv1"], backend=backend), p["conv2"], backend=backend)
+
+
+@functools.partial(jax.jit, static_argnames=("config", "backend", "compute_dtype"))
+def unet_infer_apply(
+    folded: Params,
+    x: jax.Array,
+    *,
+    config: UNetConfig,
+    backend: str = "xla",
+    compute_dtype=None,
+) -> jax.Array:
+    """Eval-mode forward on folded params. x: [N,H,W,C] → logits fp32."""
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        folded = jax.tree.map(lambda p: p.astype(compute_dtype), folded)
+
+    dc = functools.partial(_double_conv, backend=backend)
+    x1 = dc(x, folded["inc"])
+    x2 = dc(max_pool2d(x1), folded["down1"])
+    x3 = dc(max_pool2d(x2), folded["down2"])
+    x4 = dc(max_pool2d(x3), folded["down3"])
+    x5 = dc(max_pool2d(x4), folded["down4"])
+
+    h = x5
+    for i, skip in zip(range(1, 5), (x4, x3, x2, x1)):
+        blk = folded[f"up{i}"]
+        if config.bilinear:
+            up = upsample2x_align_corners(h)
+        else:
+            up = conv_transpose2d(h, blk["up"]["w"], stride=2)
+            up = (up + blk["up"]["b"].astype(jnp.float32)).astype(h.dtype)
+        up = pad_to_match(up, skip)
+        h = dc(jnp.concatenate([skip, up], axis=-1), blk["conv"])
+
+    logits = conv2d(h, folded["outc"]["w"], stride=1, padding=0)
+    return (logits + folded["outc"]["b"].astype(jnp.float32)).astype(jnp.float32)

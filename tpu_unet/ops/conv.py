@@ -49,8 +49,18 @@ def conv2d(
         window_strides=stride,
         padding=[(padding[0], padding[0]), (padding[1], padding[1])],
         dimension_numbers=DIMENSION_NUMBERS,
-        preferred_element_type=preferred_dtype,
+        preferred_element_type=_preferred(x, preferred_dtype),
     )
+
+
+def _preferred(x, preferred_dtype):
+    """fp32 accumulation hint for fp32 inputs only. For bf16 inputs the MXU
+    accumulates in fp32 in hardware regardless, and requesting an fp32 OUTPUT
+    would make autodiff's transpose rule pair fp32 cotangents with bf16
+    kernels (dtype-mismatch error) — so bf16 convs keep bf16 outputs."""
+    if preferred_dtype is None or x.dtype != jnp.float32:
+        return None
+    return preferred_dtype
 
 
 def conv_transpose2d(
@@ -84,5 +94,5 @@ def conv_transpose2d(
                  (kw - 1 - padding[1], kw - 1 - padding[1])],
         lhs_dilation=stride,
         dimension_numbers=DIMENSION_NUMBERS,
-        preferred_element_type=preferred_dtype,
+        preferred_element_type=_preferred(x, preferred_dtype),
     )

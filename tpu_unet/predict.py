@@ -74,6 +74,34 @@ def predict_img(
         return np.asarray(probs > out_threshold)
 
 
+def predict_img_fused(
+    params,
+    state,
+    config: UNetConfig,
+    full_img: Image.Image,
+    *,
+    backend: str = "xla",
+    scale_factor: float = 0.5,
+    out_threshold: float = 0.5,
+    amp: bool = False,
+) -> np.ndarray:
+    """predict_img through the folded-BN fused inference path (models/infer.py)."""
+    from tpu_unet.models.infer import fold_bn, unet_infer_apply
+
+    img = BasicDataset.preprocess(None, full_img, scale_factor, is_mask=False)
+    x = jnp.asarray(img)[None]
+    folded = fold_bn(params, state, config)
+    logits = unet_infer_apply(
+        folded, x, config=config, backend=backend,
+        compute_dtype=jnp.bfloat16 if amp else None,
+    )
+    full_w, full_h = full_img.size
+    logits = resize_bilinear(logits, full_h, full_w, align_corners=False)
+    if config.n_classes > 1:
+        return np.asarray(jnp.argmax(logits, axis=-1)[0])
+    return np.asarray(jax.nn.sigmoid(logits[0, ..., 0]) > out_threshold)
+
+
 def mask_to_image(mask: np.ndarray, mask_values) -> Image.Image:
     """Map class indices back through the stored palette (reference parity)."""
     if isinstance(mask_values[0], list):
@@ -111,6 +139,9 @@ def get_args(argv=None):
     parser.add_argument("--amp", action="store_true", default=False, help="bf16 inference")
     parser.add_argument("--tile", type=int, default=None,
                         help="Tiled sliding-window inference with this tile size (large images)")
+    parser.add_argument("--kernels", choices=["xla", "pallas"], default=None,
+                        help="Fold BN and run the fused inference path with this backend "
+                             "(default: the reference-parity train-graph forward)")
     return parser.parse_args(argv)
 
 
@@ -149,6 +180,11 @@ def main(argv=None):
                 params, state, config, img,
                 tile=args.tile, scale_factor=args.scale,
                 out_threshold=args.mask_threshold, amp=args.amp,
+            )
+        elif args.kernels:
+            mask = predict_img_fused(
+                params, state, config, img, backend=args.kernels,
+                scale_factor=args.scale, out_threshold=args.mask_threshold, amp=args.amp,
             )
         else:
             mask = predict_img(
