@@ -1,0 +1,86 @@
+"""evaluate() parity vs a torch transcription of the reference's evaluate.py
+(SURVEY.md §2 #16, §3.4 — incl. the background-channel exclusion)."""
+
+import numpy as np
+import torch
+import torch.nn.functional as F
+
+import jax
+import jax.numpy as jnp
+
+from tests.torch_ref import RefUNet, torch_state_to_jax
+from tpu_unet.evaluate import eval_step, evaluate
+from tpu_unet.models import UNetConfig
+
+
+def torch_reference_evaluate(net, images, masks, n_classes):
+    # Transcribed from the SURVEY.md §3.4 spec of reference evaluate.py.
+    def dice_coeff(inp, tgt, reduce_batch_first=False, epsilon=1e-6):
+        sum_dim = (-1, -2) if inp.dim() == 2 or not reduce_batch_first else (-1, -2, -3)
+        inter = 2 * (inp * tgt).sum(dim=sum_dim)
+        sets_sum = inp.sum(dim=sum_dim) + tgt.sum(dim=sum_dim)
+        sets_sum = torch.where(sets_sum == 0, inter, sets_sum)
+        return ((inter + epsilon) / (sets_sum + epsilon)).mean()
+
+    with torch.inference_mode():
+        pred = net(images)
+        if n_classes == 1:
+            out = (torch.sigmoid(pred) > 0.5).float().squeeze(1)
+            return dice_coeff(out, masks.float())
+        else:
+            oh_pred = F.one_hot(pred.argmax(dim=1), n_classes).permute(0, 3, 1, 2).float()
+            oh_mask = F.one_hot(masks, n_classes).permute(0, 3, 1, 2).float()
+            return dice_coeff(
+                oh_pred[:, 1:].flatten(0, 1), oh_mask[:, 1:].flatten(0, 1)
+            )
+
+
+def test_eval_binary_matches_reference():
+    torch.manual_seed(0)
+    net = RefUNet(3, 1, bilinear=True, base=8).eval()
+    params, state = torch_state_to_jax(net)
+    config = UNetConfig(3, 1, bilinear=True, base_channels=8)
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, 32, 32, 3), dtype=np.float32)
+    masks = rng.integers(0, 2, (2, 32, 32))
+
+    ref = torch_reference_evaluate(
+        net, torch.from_numpy(x).permute(0, 3, 1, 2), torch.from_numpy(masks), 1
+    )
+    dice, _ = eval_step(params, state, jnp.asarray(x), jnp.asarray(masks), config=config)
+    np.testing.assert_allclose(float(dice), float(ref), atol=1e-5)
+
+
+def test_eval_multiclass_excludes_background():
+    torch.manual_seed(1)
+    net = RefUNet(3, 4, bilinear=False, base=8).eval()
+    params, state = torch_state_to_jax(net)
+    config = UNetConfig(3, 4, bilinear=False, base_channels=8)
+
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((2, 32, 32, 3), dtype=np.float32)
+    masks = rng.integers(0, 4, (2, 32, 32))
+
+    ref = torch_reference_evaluate(
+        net, torch.from_numpy(x).permute(0, 3, 1, 2), torch.from_numpy(masks), 4
+    )
+    dice, _ = eval_step(params, state, jnp.asarray(x), jnp.asarray(masks), config=config)
+    np.testing.assert_allclose(float(dice), float(ref), atol=1e-5)
+
+
+def test_evaluate_averages_over_batches():
+    config = UNetConfig(3, 1, bilinear=True, base_channels=8)
+    import jax as _jax
+
+    from tpu_unet.models import init_unet
+
+    params, state = init_unet(_jax.random.PRNGKey(0), config)
+    rng = np.random.default_rng(2)
+    loader = [
+        {"image": rng.random((2, 32, 32, 3), dtype=np.float32),
+         "mask": rng.integers(0, 2, (2, 32, 32))}
+        for _ in range(3)
+    ]
+    dice, iou = evaluate(params, state, loader, config)
+    assert 0.0 <= dice <= 1.0 and 0.0 <= iou <= 1.0

@@ -39,6 +39,18 @@ def test_fused_conv_no_relu(rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4, rtol=1e-4)
 
 
+@pytest.mark.parametrize("shape", [(1, 16, 24, 8), (2, 17, 25, 4), (1, 64, 64, 3)])
+def test_pallas_maxpool_matches_torch_semantics(rng, shape):
+    from tpu_unet.kernels.pooling import max_pool2x2
+    from tpu_unet.ops import max_pool2d
+
+    x = jnp.asarray(rng.standard_normal(shape, dtype=np.float32))
+    ref = max_pool2d(x)  # itself torch-parity-tested in test_ops.py
+    with pltpu.force_tpu_interpret_mode():
+        out = max_pool2x2(x)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
 @pytest.mark.parametrize("bilinear", [False, True])
 def test_folded_bn_inference_matches_train_false(bilinear):
     """fold_bn + unet_infer_apply(xla) ≡ unet_apply(train=False)."""

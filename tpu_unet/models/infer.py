@@ -88,12 +88,17 @@ def unet_infer_apply(
         x = x.astype(compute_dtype)
         folded = jax.tree.map(lambda p: p.astype(compute_dtype), folded)
 
+    if backend == "pallas":
+        from tpu_unet.kernels.pooling import max_pool2x2 as pool
+    else:
+        pool = max_pool2d
+
     dc = functools.partial(_double_conv, backend=backend)
     x1 = dc(x, folded["inc"])
-    x2 = dc(max_pool2d(x1), folded["down1"])
-    x3 = dc(max_pool2d(x2), folded["down2"])
-    x4 = dc(max_pool2d(x3), folded["down3"])
-    x5 = dc(max_pool2d(x4), folded["down4"])
+    x2 = dc(pool(x1), folded["down1"])
+    x3 = dc(pool(x2), folded["down2"])
+    x4 = dc(pool(x3), folded["down3"])
+    x5 = dc(pool(x4), folded["down4"])
 
     h = x5
     for i, skip in zip(range(1, 5), (x4, x3, x2, x1)):
