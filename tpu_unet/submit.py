@@ -1,0 +1,88 @@
+"""Carvana RLE submission writer.
+
+Contingency component from SURVEY.md §A.1: the legacy (pre-2020) reference
+layout ships ``submit.py`` writing a Kaggle Carvana run-length-encoded
+submission CSV over all test images. The mount was empty so the fork's
+vintage is unknown — this covers the legacy surface either way.
+
+RLE per the Carvana challenge: column-major (Fortran) flattening, 1-indexed
+start positions, "start length" pairs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+from pathlib import Path
+
+import numpy as np
+from PIL import Image
+
+logger = logging.getLogger(__name__)
+
+
+def rle_encode(mask: np.ndarray) -> str:
+    """Binary HW mask → Carvana RLE string (column-major, 1-indexed)."""
+    pixels = np.asarray(mask, dtype=np.uint8).flatten(order="F")
+    padded = np.concatenate([[0], pixels, [0]])
+    changes = np.where(padded[1:] != padded[:-1])[0] + 1
+    starts, ends = changes[::2], changes[1::2]
+    return " ".join(f"{s} {e - s}" for s, e in zip(starts, ends))
+
+
+def rle_decode(rle: str, shape: tuple[int, int]) -> np.ndarray:
+    """Inverse of rle_encode (for round-trip tests)."""
+    out = np.zeros(shape[0] * shape[1], dtype=np.uint8)
+    tokens = list(map(int, rle.split()))
+    for s, l in zip(tokens[::2], tokens[1::2]):
+        out[s - 1 : s - 1 + l] = 1
+    return out.reshape(shape, order="F")
+
+
+def submit(model_path, in_dir, out_csv, scale=0.5, threshold=0.5, bilinear=False):
+    """Predict every image in ``in_dir`` and write an RLE submission CSV."""
+    import jax
+
+    from tpu_unet.checkpoint import import_pth, load_checkpoint
+    from tpu_unet.models import UNetConfig, init_unet
+    from tpu_unet.predict import predict_img
+
+    config = UNetConfig(3, 1, bilinear=bilinear)
+    params, state = init_unet(jax.random.PRNGKey(0), config)
+    if str(model_path).endswith(".pth"):
+        params, state, _ = import_pth(model_path, config)
+    else:
+        params, state, _, _ = load_checkpoint(model_path, params, state)
+
+    files = sorted(
+        f for f in os.listdir(in_dir) if not f.startswith(".")
+    )
+    with open(out_csv, "w") as f:
+        f.write("img,rle_mask\n")
+        for name in files:
+            img = Image.open(Path(in_dir) / name)
+            mask = predict_img(
+                params, state, config, img,
+                scale_factor=scale, out_threshold=threshold,
+            )
+            f.write(f"{name},{rle_encode(mask)}\n")
+            logger.info("encoded %s", name)
+    logger.info("Wrote %d rows to %s", len(files), out_csv)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="Write a Carvana RLE submission CSV")
+    p.add_argument("--model", "-m", required=True)
+    p.add_argument("--input-dir", "-i", required=True)
+    p.add_argument("--output", "-o", default="SUBMISSION.csv")
+    p.add_argument("--scale", "-s", type=float, default=0.5)
+    p.add_argument("--mask-threshold", "-t", type=float, default=0.5)
+    p.add_argument("--bilinear", action="store_true")
+    a = p.parse_args(argv)
+    logging.basicConfig(level=logging.INFO, format="%(levelname)s: %(message)s")
+    submit(a.model, a.input_dir, a.output, a.scale, a.mask_threshold, a.bilinear)
+
+
+if __name__ == "__main__":
+    main()

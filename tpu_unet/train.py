@@ -179,9 +179,18 @@ def train_model(
     global_step = 0
     division_step = n_train // (5 * batch_size)
 
+    try:
+        from tqdm import tqdm
+    except ImportError:  # progress bars are cosmetic; never required
+        tqdm = None
+
     for epoch in range(1, epochs + 1):
         epoch_loss = 0.0
         feed = prefetch_to_device(train_loader, buffer_size=2, sharding=sharding)
+        pbar = (
+            tqdm(total=n_train, desc=f"Epoch {epoch}/{epochs}", unit="img", leave=False)
+            if tqdm else None
+        )
         for batch in feed:
             images = jnp.asarray(batch["image"])
             masks = jnp.asarray(batch["mask"])
@@ -193,6 +202,9 @@ def train_model(
             loss_val = float(loss)
             epoch_loss += loss_val
             history["train_loss"].append(loss_val)
+            if pbar:
+                pbar.update(images.shape[0])
+                pbar.set_postfix(loss=f"{loss_val:.4f}")
             if experiment:
                 experiment.log({"train loss": loss_val, "step": global_step, "epoch": epoch})
 
@@ -209,6 +221,8 @@ def train_model(
                         "validation IoU": val_iou, "step": global_step, "epoch": epoch,
                     })
 
+        if pbar:
+            pbar.close()
         logger.info("Epoch %d finished, mean loss %f", epoch, epoch_loss / max(len(train_loader), 1))
         if save_checkpoint_flag:
             checkpoint_dir.mkdir(parents=True, exist_ok=True)
