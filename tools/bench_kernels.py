@@ -43,32 +43,41 @@ def main():
         (80, 120, 256, 256),
         (40, 60, 512, 512),
     ]
+    from tpu_unet.kernels.fused_double_conv import fused_double_conv
+
     for h, w, cin, cout in shapes:
         x = jnp.asarray(rng.standard_normal((1, h, w, cin), dtype=np.float32), dtype=jnp.bfloat16)
         wt = jnp.asarray(rng.standard_normal((3, 3, cin, cout), dtype=np.float32) * 0.05, dtype=jnp.bfloat16)
+        wt2 = jnp.asarray(rng.standard_normal((3, 3, cout, cout), dtype=np.float32) * 0.05, dtype=jnp.bfloat16)
         scale = jnp.ones(cout, jnp.float32)
         bias = jnp.zeros(cout, jnp.float32)
-
-        t_xla = timeit(xla_fused, x, wt, scale, bias)
-        t_pal = timeit(
-            functools.partial(fused_conv3x3_scale_relu, tile_h=8), x, wt, scale, bias
-        )
+        rec = {"shape": f"{h}x{w}x{cin}->{cout}"}
         flops = 2 * 9 * h * w * cin * cout
-        print(json.dumps({
-            "shape": f"{h}x{w}x{cin}->{cout}",
-            "xla_ms": round(t_xla * 1e3, 3),
-            "pallas_ms": round(t_pal * 1e3, 3),
-            "xla_tflops": round(flops / t_xla / 1e12, 1),
-            "pallas_tflops": round(flops / t_pal / 1e12, 1),
-        }))
+        for name, fn, args in [
+            ("xla", xla_fused, (x, wt, scale, bias)),
+            ("pallas", functools.partial(fused_conv3x3_scale_relu, tile_h=8), (x, wt, scale, bias)),
+            ("pallas_dc", fused_double_conv, (x, wt, scale, bias, wt2, scale, bias)),
+            ("xla_dc", lambda x, w1, s1, b1, w2, s2, b2: xla_fused(xla_fused(x, w1, s1, b1), w2, s2, b2),
+             (x, wt, scale, bias, wt2, scale, bias)),
+        ]:
+            try:
+                t = timeit(fn, *args)
+                rec[f"{name}_ms"] = round(t * 1e3, 3)
+                f = flops * (2 * cout / (cin + cout) if name.endswith("_dc") else 1)
+                rec[f"{name}_tflops"] = round(f / t / 1e12, 1)
+            except Exception as e:
+                rec[f"{name}_error"] = str(e)[:120]
+        print(json.dumps(rec), flush=True)
 
-        t_xp = timeit(max_pool2d, x)
-        t_pp = timeit(max_pool2x2, x)
-        print(json.dumps({
-            "shape": f"pool {h}x{w}x{cin}",
-            "xla_ms": round(t_xp * 1e3, 3),
-            "pallas_ms": round(t_pp * 1e3, 3),
-        }))
+    for h, w, cin, cout in shapes:
+        x = jnp.asarray(rng.standard_normal((1, h, w, cin), dtype=np.float32), dtype=jnp.bfloat16)
+        rec = {"shape": f"pool {h}x{w}x{cin}"}
+        for name, fn in [("xla", max_pool2d), ("pallas", max_pool2x2)]:
+            try:
+                rec[f"{name}_ms"] = round(timeit(fn, x) * 1e3, 3)
+            except Exception as e:
+                rec[f"{name}_error"] = str(e)[:120]
+        print(json.dumps(rec), flush=True)
 
 
 if __name__ == "__main__":

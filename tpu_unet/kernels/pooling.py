@@ -18,13 +18,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _pool_kernel(x_ref, o_ref):
-    # x: [1, 2·TH, W, C] → o: [1, TH, W/2, C]
+    # x: [1, 2·TH, W, C] → o: [1, TH, W/2, C]. Mosaic forbids stride-2
+    # slices, so pool via reshapes: split the row dim (a plain batch dim)
+    # and the W sublane dim into pairs, then reduce each pair.
     x = x_ref[0]
-    tl = lax.slice(x, (0, 0, 0), x.shape, (2, 2, 1))
-    tr = lax.slice(x, (0, 1, 0), x.shape, (2, 2, 1))
-    bl = lax.slice(x, (1, 0, 0), x.shape, (2, 2, 1))
-    br = lax.slice(x, (1, 1, 0), x.shape, (2, 2, 1))
-    o_ref[0] = jnp.maximum(jnp.maximum(tl, tr), jnp.maximum(bl, br))
+    th2, w, c = x.shape
+    rows = x.reshape(th2 // 2, 2, w, c)
+    row_pooled = jnp.maximum(rows[:, 0], rows[:, 1])          # [TH, W, C]
+    cols = row_pooled.reshape(th2 // 2, w // 2, 2, c)
+    o_ref[0] = jnp.maximum(cols[:, :, 0], cols[:, :, 1])      # [TH, W/2, C]
 
 
 @functools.partial(jax.jit, static_argnames=("tile_h",))

@@ -71,6 +71,20 @@ def _fused_conv(x, cw, *, backend):
 
 
 def _double_conv(x, p, *, backend):
+    if backend == "pallas":
+        from tpu_unet.kernels.fused_double_conv import (
+            FUSED_DC_MAX_CHANNELS,
+            fused_double_conv,
+        )
+
+        cin = p["conv1"]["w"].shape[2]
+        cmid = p["conv1"]["w"].shape[3]
+        if max(cin, cmid) <= FUSED_DC_MAX_CHANNELS:
+            return fused_double_conv(
+                x,
+                p["conv1"]["w"], p["conv1"]["scale"], p["conv1"]["bias"],
+                p["conv2"]["w"], p["conv2"]["scale"], p["conv2"]["bias"],
+            )
     return _fused_conv(_fused_conv(x, p["conv1"], backend=backend), p["conv2"], backend=backend)
 
 

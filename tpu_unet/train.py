@@ -307,8 +307,13 @@ def main(argv=None):
             seed=args.seed,
         )
 
+    profiling = False
     if args.profile:
-        jax.profiler.start_trace(args.profile)
+        try:
+            jax.profiler.start_trace(args.profile)
+            profiling = True
+        except Exception as e:  # profiler may be unsupported on some PJRT plugins
+            logger.warning("Profiler unavailable (%s); continuing without trace", e)
     try:
         run(remat=False)
     except Exception as e:  # XLA OOM → remat retry, the reference's fallback
@@ -321,8 +326,12 @@ def main(argv=None):
         else:
             raise
     finally:
-        if args.profile:
-            jax.profiler.stop_trace()
+        if profiling:
+            try:
+                jax.profiler.stop_trace()
+                logger.info("Profiler trace written to %s", args.profile)
+            except Exception as e:
+                logger.warning("Profiler stop failed: %s", e)
 
 
 if __name__ == "__main__":
