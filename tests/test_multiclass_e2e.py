@@ -1,0 +1,55 @@
+"""North-star config #3: multi-class (21-class VOC-style) U-Net with
+ConvTranspose2d decoder — full train→evaluate→predict cycle."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import jax
+
+from tpu_unet.data import CarvanaDataset
+from tpu_unet.data.synthetic import make_synthetic_voc
+from tpu_unet.evaluate import evaluate
+from tpu_unet.models import UNetConfig, init_unet
+from tpu_unet.predict import main as predict_main
+from tpu_unet.train import main as train_main, train_model
+
+
+@pytest.fixture(scope="module")
+def voc(tmp_path_factory):
+    root = tmp_path_factory.mktemp("voc")
+    make_synthetic_voc(root, n=8, h=48, w=64, n_classes=21)
+    return root
+
+
+def test_voc_dataset_class_indices(voc):
+    ds = CarvanaDataset(voc / "imgs", voc / "masks", scale=1.0, num_workers=0)
+    # mask_values are the sorted distinct class indices present in the data.
+    assert ds.mask_values[0] == 0
+    assert all(0 <= v < 21 for v in ds.mask_values)
+    m = ds[0]["mask"]
+    assert m.max() < len(ds.mask_values)
+
+
+def test_multiclass_train_eval_predict(voc, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    ckpt_dir = tmp_path / "ck"
+    train_main([
+        "-e", "1", "-b", "2", "-l", "1e-3", "-s", "1.0", "-c", "21",
+        "--data-dir", str(voc), "--checkpoint-dir", str(ckpt_dir),
+    ])
+    ckpt = ckpt_dir / "checkpoint_epoch1.npz"
+    assert ckpt.exists()
+
+    img = next((voc / "imgs").glob("*.png"))
+    out = tmp_path / "voc_out.png"
+    predict_main(["-m", str(ckpt), "-i", str(img), "-o", str(out), "-s", "1.0", "-c", "21"])
+    mask = np.asarray(Image.open(out))
+    assert mask.shape == (48, 64)
+    # Palette round-trip: every emitted pixel is one of the stored mask_values.
+    from tpu_unet.checkpoint import load_checkpoint
+    from tpu_unet.models import init_unet as _init
+
+    p, s = _init(jax.random.PRNGKey(0), UNetConfig(3, 21))
+    _, _, mv, _ = load_checkpoint(ckpt, p, s)
+    assert set(np.unique(mask)) <= set(mv)

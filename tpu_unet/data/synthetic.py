@@ -61,6 +61,36 @@ def make_synthetic_carvana(
     return img_dir, mask_dir
 
 
+def make_synthetic_voc(
+    root: str | Path, n: int = 8, h: int = 64, w: int = 96,
+    n_classes: int = 21, seed: int = 0,
+) -> tuple[Path, Path]:
+    """Multi-class (VOC-style) synthetic dataset: up to 3 class blobs per
+    image on a background of class 0; mask pixel value = class index
+    (north-star config #3)."""
+    root = Path(root)
+    img_dir, mask_dir = root / "imgs", root / "masks"
+    img_dir.mkdir(parents=True, exist_ok=True)
+    mask_dir.mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    for i in range(n):
+        img = np.clip(
+            0.5 + 0.2 * rng.standard_normal((h, w, 3)), 0, 1
+        )
+        mask = np.zeros((h, w), np.uint8)
+        yy, xx = np.mgrid[0:h, 0:w]
+        for _ in range(rng.integers(1, 4)):
+            cls = int(rng.integers(1, n_classes))
+            cy, cx = rng.uniform(0, h), rng.uniform(0, w)
+            ry, rx = rng.uniform(h / 8, h / 3), rng.uniform(w / 8, w / 3)
+            blob = ((yy - cy) / ry) ** 2 + ((xx - cx) / rx) ** 2 <= 1.0
+            mask[blob] = cls
+            img[blob] = rng.uniform(0.1, 0.9, 3)
+        Image.fromarray((img * 255).astype(np.uint8)).save(img_dir / f"im_{i:04d}.png")
+        Image.fromarray(mask).save(mask_dir / f"im_{i:04d}_mask.png")
+    return img_dir, mask_dir
+
+
 def synth_batch(rng: np.random.Generator, n: int, h: int, w: int):
     """In-memory NHWC float batch + NHW int mask batch (no files)."""
     imgs, masks = [], []
