@@ -93,6 +93,38 @@ def load_checkpoint(
     return params, state, meta.get("mask_values"), meta.get("extra", {})
 
 
+class AsyncCheckpointer:
+    """Overlap checkpoint writes with training.
+
+    The device→host fetch happens synchronously (the caller's params are
+    donated into the next train step, so their buffers must be copied out
+    before stepping again); the ~124 MB npz serialization + disk write then
+    runs on a background thread. ``wait()`` joins the in-flight write —
+    called automatically before starting the next one and at trainer exit.
+    """
+
+    def __init__(self):
+        self._thread = None
+
+    def save(self, path, params, state, mask_values=None, extra=None):
+        import threading
+
+        params_h = jax.device_get(params)
+        state_h = jax.device_get(state)
+        self.wait()
+        self._thread = threading.Thread(
+            target=save_checkpoint,
+            args=(path, params_h, state_h, mask_values, extra),
+            daemon=True,
+        )
+        self._thread.start()
+
+    def wait(self):
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+
+
 # ---------------------------------------------------------------------------
 # torch .pth importer (SURVEY.md §5: "a one-way .pth importer for parity
 # testing" and for loading the reference's released Carvana weights).

@@ -38,7 +38,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from tpu_unet.checkpoint import import_pth, load_checkpoint, save_checkpoint
+from tpu_unet.checkpoint import AsyncCheckpointer, import_pth, load_checkpoint
 from tpu_unet.data import (
     BasicDataset,
     CarvanaDataset,
@@ -178,6 +178,7 @@ def train_model(
     history = {"train_loss": [], "val_dice": [], "lr": []}
     global_step = 0
     division_step = n_train // (5 * batch_size)
+    checkpointer = AsyncCheckpointer()
 
     try:
         from tqdm import tqdm
@@ -226,7 +227,9 @@ def train_model(
         logger.info("Epoch %d finished, mean loss %f", epoch, epoch_loss / max(len(train_loader), 1))
         if save_checkpoint_flag:
             checkpoint_dir.mkdir(parents=True, exist_ok=True)
-            save_checkpoint(
+            # Async: fetch-to-host now, write on a background thread while
+            # the next epoch trains.
+            checkpointer.save(
                 checkpoint_dir / f"checkpoint_epoch{epoch}.npz",
                 params, bn_state,
                 mask_values=getattr(dataset, "mask_values", None),
@@ -234,6 +237,7 @@ def train_model(
             )
             logger.info("Checkpoint %d saved!", epoch)
 
+    checkpointer.wait()
     return params, bn_state, history
 
 
