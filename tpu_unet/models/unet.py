@@ -54,6 +54,7 @@ class UNetConfig(NamedTuple):
     n_classes: int = 2
     bilinear: bool = False
     base_channels: int = 64
+    arch: str = "unet"  # "unet" (reference parity) | "unetpp" (models/unetpp.py)
 
 
 # ---------------------------------------------------------------------------
@@ -90,7 +91,11 @@ def _double_conv_init(key, cin, cout, cmid=None, dtype=jnp.float32):
 def init_unet(
     key: jax.Array, config: UNetConfig, dtype=jnp.float32
 ) -> tuple[Params, State]:
-    """Build (params, state) pytrees for the U-Net described by ``config``."""
+    """Build (params, state) pytrees for the model described by ``config``."""
+    if config.arch == "unetpp":
+        from tpu_unet.models.unetpp import init_unetpp
+
+        return init_unetpp(key, config, dtype)
     c = config.base_channels
     factor = 2 if config.bilinear else 1
     keys = jax.random.split(key, 10)
@@ -189,6 +194,13 @@ def unet_apply(
     remat=True is the analog of the reference's use_checkpointing() OOM
     fallback: every block recomputes activations in the backward pass.
     """
+    if config.arch == "unetpp":
+        from tpu_unet.models.unetpp import unetpp_apply
+
+        return unetpp_apply(
+            params, state, x, config=config, train=train,
+            compute_dtype=compute_dtype, remat=remat, axis_name=axis_name,
+        )
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
         params = jax.tree.map(lambda p: p.astype(compute_dtype), params)

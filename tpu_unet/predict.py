@@ -139,6 +139,8 @@ def get_args(argv=None):
     parser.add_argument("--amp", action="store_true", default=False, help="bf16 inference")
     parser.add_argument("--tile", type=int, default=None,
                         help="Tiled sliding-window inference with this tile size (large images)")
+    parser.add_argument("--arch", choices=["unet", "unetpp"], default="unet",
+                        help="Model family the checkpoint was trained with")
     parser.add_argument("--kernels", choices=["xla", "pallas"], default=None,
                         help="Fold BN and run the fused inference path with this backend "
                              "(default: the reference-parity train-graph forward)")
@@ -158,7 +160,9 @@ def main(argv=None):
     in_files = args.input
     out_files = get_output_filenames(args)
 
-    config = UNetConfig(n_channels=3, n_classes=args.classes, bilinear=args.bilinear)
+    config = UNetConfig(
+        n_channels=3, n_classes=args.classes, bilinear=args.bilinear, arch=args.arch
+    )
     params, state = init_unet(jax.random.PRNGKey(0), config)
     logger.info("Loading model %s", args.model)
     if str(args.model).endswith(".pth"):

@@ -254,6 +254,8 @@ def get_args(argv=None):
     parser.add_argument("--bilinear", action="store_true", default=False, help="Use bilinear upsampling")
     parser.add_argument("--classes", "-c", type=int, default=1, help="Number of classes")
     # TPU-framework extensions (additive, not in the reference CLI):
+    parser.add_argument("--arch", choices=["unet", "unetpp"], default="unet",
+                        help="Model family: classic U-Net (reference parity) or UNet++")
     parser.add_argument("--data-parallel", action="store_true", default=False,
                         help="Shard the batch across all visible TPU devices (GSPMD)")
     parser.add_argument("--checkpoint-dir", type=str, default=str(dir_checkpoint))
@@ -272,7 +274,9 @@ def main(argv=None):
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
 
-    config = UNetConfig(n_channels=3, n_classes=args.classes, bilinear=args.bilinear)
+    config = UNetConfig(
+        n_channels=3, n_classes=args.classes, bilinear=args.bilinear, arch=args.arch
+    )
     logger.info(
         "Network:\n\t%d input channels\n\t%d output channels (classes)\n\t%s upscaling",
         config.n_channels, config.n_classes,
