@@ -45,10 +45,13 @@ def _dc_kernel(xa_ref, xb_ref, w1_ref, sb1_ref, w2_ref, sb2_ref, o_ref, *, th, h
     # image border yields relu(bias) ≠ 0 there — zero the mid rows/cols whose
     # global index falls outside the image.
     i = pl.program_id(1)
-    row_g = i * th - 1 + jax.lax.broadcasted_iota(jnp.int32, (mid_h, mid_w), 0)
-    col_g = jax.lax.broadcasted_iota(jnp.int32, (mid_h, mid_w), 1) - 1
+    # 3-D iotas from the start: Mosaic cannot insert a minor dim on the
+    # 1-bit mask ("Insertion of minor dim that is not a no-op only
+    # supported for 32-bit types").
+    row_g = i * th - 1 + jax.lax.broadcasted_iota(jnp.int32, (mid_h, mid_w, 1), 0)
+    col_g = jax.lax.broadcasted_iota(jnp.int32, (mid_h, mid_w, 1), 1) - 1
     inside = (row_g >= 0) & (row_g < h) & (col_g >= 0) & (col_g < w_out)
-    mid = jnp.where(inside[:, :, None], mid, 0.0).astype(x.dtype)  # stays in VMEM
+    mid = jnp.where(inside, mid, 0.0).astype(x.dtype)  # stays in VMEM
 
     acc2 = jnp.zeros((th * w_out, cout), jnp.float32)
     for dy in range(3):
