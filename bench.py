@@ -65,7 +65,7 @@ def main():
     # this program takes ~10 min through the axon remote-compile tunnel).
     best = 0.0
     best_batch = 0
-    for batch in (8, 4):  # fallback to 4 only on OOM
+    for batch in (16, 8, 4):  # fall back only on OOM (measured: 16 → 64.9 img/s)
         try:
             best, best_batch = bench_batch(batch), batch
             break

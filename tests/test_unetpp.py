@@ -53,6 +53,21 @@ def test_unetpp_train_step_decreases_loss():
     assert losses[-1] < losses[0]
 
 
+def test_unetpp_deep_supervision():
+    config = UNetConfig(3, 2, base_channels=8, arch="unetpp", deep_supervision=True)
+    params, state = init_unet(jax.random.PRNGKey(0), config)
+    assert "head4" in params and "outc" not in params
+    x = jnp.asarray(np.random.default_rng(3).standard_normal((1, 32, 32, 3), dtype=np.float32))
+    logits, _ = unet_apply(params, state, x, config=config, train=True)
+    assert logits.shape == (1, 32, 32, 2)
+    # Gradients must reach the earliest column's head (all columns supervised).
+    def loss(p):
+        lg, _ = unet_apply(p, state, x, config=config, train=True)
+        return jnp.mean(lg ** 2)
+    g = jax.grad(loss)(params)
+    assert float(jnp.max(jnp.abs(g["head1"]["w"]))) > 0
+
+
 def test_unetpp_remat_and_bf16():
     params, state = init_unet(jax.random.PRNGKey(0), CONFIG)
     x = jnp.asarray(np.random.default_rng(2).standard_normal((1, 32, 32, 3), dtype=np.float32))

@@ -55,6 +55,7 @@ class UNetConfig(NamedTuple):
     bilinear: bool = False
     base_channels: int = 64
     arch: str = "unet"  # "unet" (reference parity) | "unetpp" (models/unetpp.py)
+    deep_supervision: bool = False  # unetpp only: per-column heads, averaged
 
 
 # ---------------------------------------------------------------------------

@@ -51,7 +51,16 @@ def init_unetpp(key: jax.Array, config: UNetConfig, dtype=jnp.float32):
                 next(keys), cin, chans[i], dtype=dtype
             )
 
-    params["outc"] = _conv_init(next(keys), 1, 1, chans[0], config.n_classes, bias=True, dtype=dtype)
+    if config.deep_supervision:
+        hkeys = jax.random.split(next(keys), DEPTH - 1)
+        for j in range(1, DEPTH):
+            params[f"head{j}"] = _conv_init(
+                hkeys[j - 1], 1, 1, chans[0], config.n_classes, bias=True, dtype=dtype
+            )
+    else:
+        params["outc"] = _conv_init(
+            next(keys), 1, 1, chans[0], config.n_classes, bias=True, dtype=dtype
+        )
     return params, state
 
 
@@ -101,6 +110,16 @@ def unetpp_apply(
 
     from tpu_unet.ops import conv2d
 
-    logits = conv2d(nodes[(0, DEPTH - 1)], params["outc"]["w"], stride=1, padding=0)
-    logits = logits + params["outc"]["b"].astype(jnp.float32)
+    if config.deep_supervision:
+        # Averaged per-column heads (the paper's "accurate" mode); training
+        # through the mean supervises every column.
+        heads = []
+        for j in range(1, DEPTH):
+            p = params[f"head{j}"]
+            hj = conv2d(nodes[(0, j)], p["w"], stride=1, padding=0)
+            heads.append(hj.astype(jnp.float32) + p["b"].astype(jnp.float32))
+        logits = sum(heads) / len(heads)
+    else:
+        logits = conv2d(nodes[(0, DEPTH - 1)], params["outc"]["w"], stride=1, padding=0)
+        logits = logits + params["outc"]["b"].astype(jnp.float32)
     return logits.astype(jnp.float32), new_state

@@ -217,9 +217,24 @@ def train_model(
                 history["lr"].append(lr_now)
                 logger.info("Validation Dice score: %f (IoU %f)", val_dice, val_iou)
                 if experiment:
+                    # Reference parity: weight histograms + sample triplet at
+                    # each validation (train.py W&B block, SURVEY.md §2 #22).
+                    import wandb
+
+                    histograms = {}
+                    for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+                        key = "Weights/" + "/".join(
+                            str(getattr(p, "key", p)) for p in path
+                        )
+                        histograms[key] = wandb.Histogram(np.asarray(leaf).ravel())
                     experiment.log({
                         "learning rate": lr_now, "validation Dice": val_dice,
                         "validation IoU": val_iou, "step": global_step, "epoch": epoch,
+                        "images": wandb.Image(np.asarray(images[0])),
+                        "masks": {
+                            "true": wandb.Image(np.asarray(masks[0]).astype(np.float32)),
+                        },
+                        **histograms,
                     })
 
         if pbar:
@@ -256,6 +271,8 @@ def get_args(argv=None):
     # TPU-framework extensions (additive, not in the reference CLI):
     parser.add_argument("--arch", choices=["unet", "unetpp"], default="unet",
                         help="Model family: classic U-Net (reference parity) or UNet++")
+    parser.add_argument("--deep-supervision", action="store_true", default=False,
+                        help="UNet++ only: per-column output heads, averaged")
     parser.add_argument("--data-parallel", action="store_true", default=False,
                         help="Shard the batch across all visible TPU devices (GSPMD)")
     parser.add_argument("--checkpoint-dir", type=str, default=str(dir_checkpoint))
@@ -275,7 +292,8 @@ def main(argv=None):
         jax.config.update("jax_debug_nans", True)
 
     config = UNetConfig(
-        n_channels=3, n_classes=args.classes, bilinear=args.bilinear, arch=args.arch
+        n_channels=3, n_classes=args.classes, bilinear=args.bilinear,
+        arch=args.arch, deep_supervision=args.deep_supervision,
     )
     logger.info(
         "Network:\n\t%d input channels\n\t%d output channels (classes)\n\t%s upscaling",
