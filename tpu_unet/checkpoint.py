@@ -48,8 +48,13 @@ def save_checkpoint(
     state: State,
     mask_values=None,
     extra: dict | None = None,
+    opt_state=None,
 ) -> None:
-    """Write params+state (+mask_values palette, + extra JSON metadata)."""
+    """Write params+state (+mask_values palette, + extra JSON metadata).
+
+    ``opt_state`` (optional) adds the optimizer pytree for full-state resume
+    — the reference saves weights only (SURVEY.md §5); this is additive.
+    """
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
     arrays = {}
@@ -57,7 +62,14 @@ def save_checkpoint(
         arrays["params/" + k] = v
     for k, v in _flatten_with_paths(state).items():
         arrays["state/" + k] = v
-    meta = {"mask_values": mask_values, "extra": extra or {}}
+    if opt_state is not None:
+        for k, v in _flatten_with_paths(opt_state).items():
+            arrays["opt/" + k] = v
+    meta = {
+        "mask_values": mask_values,
+        "extra": extra or {},
+        "has_opt_state": opt_state is not None,
+    }
     arrays["__meta__"] = np.frombuffer(
         json.dumps(meta).encode("utf-8"), dtype=np.uint8
     )
@@ -65,11 +77,13 @@ def save_checkpoint(
 
 
 def load_checkpoint(
-    path: str | Path, params_like: Params, state_like: State
+    path: str | Path, params_like: Params, state_like: State, opt_like=None
 ) -> tuple[Params, State, list | None, dict]:
     """Restore into the structure of (params_like, state_like).
 
-    Returns (params, state, mask_values, extra).
+    Returns (params, state, mask_values, extra). With ``opt_like`` given and
+    optimizer state present in the file, ``extra['opt_state']`` carries the
+    restored optimizer pytree.
     """
     with np.load(Path(path), allow_pickle=False) as z:
         meta = json.loads(bytes(z["__meta__"].tolist()).decode("utf-8"))
@@ -90,7 +104,10 @@ def load_checkpoint(
 
         params = restore("params/", params_like)
         state = restore("state/", state_like)
-    return params, state, meta.get("mask_values"), meta.get("extra", {})
+        extra = dict(meta.get("extra", {}))
+        if opt_like is not None and meta.get("has_opt_state"):
+            extra["opt_state"] = restore("opt/", opt_like)
+    return params, state, meta.get("mask_values"), extra
 
 
 class AsyncCheckpointer:
@@ -106,15 +123,16 @@ class AsyncCheckpointer:
     def __init__(self):
         self._thread = None
 
-    def save(self, path, params, state, mask_values=None, extra=None):
+    def save(self, path, params, state, mask_values=None, extra=None, opt_state=None):
         import threading
 
         params_h = jax.device_get(params)
         state_h = jax.device_get(state)
+        opt_h = jax.device_get(opt_state) if opt_state is not None else None
         self.wait()
         self._thread = threading.Thread(
             target=save_checkpoint,
-            args=(path, params_h, state_h, mask_values, extra),
+            args=(path, params_h, state_h, mask_values, extra, opt_h),
             daemon=True,
         )
         self._thread.start()

@@ -126,6 +126,8 @@ def train_model(
     use_wandb: bool = False,
     checkpoint_dir: Path = dir_checkpoint,
     seed: int = 0,
+    save_optimizer: bool = False,
+    resume: str | None = None,
 ):
     """The reference's train_model, TPU-native. Returns (params, bn_state, history)."""
     # 1–2. Split into train / validation partitions (torch randperm parity).
@@ -167,9 +169,19 @@ def train_model(
     )
 
     opt_state = rmsprop_init(params)
+    scheduler = ReduceLROnPlateau(lr=learning_rate, mode="max", patience=5)
+    start_epoch = 1
+    if resume:
+        # Full-state resume (beyond-reference: the reference's --load restores
+        # weights only and restarts epochs; SURVEY.md §5).
+        params, bn_state, _, extra = load_checkpoint(resume, params, bn_state, opt_state)
+        if "opt_state" in extra:
+            opt_state = extra.pop("opt_state")
+        start_epoch = int(extra.get("epoch", 0)) + 1
+        scheduler.lr = float(extra.get("lr", learning_rate))
+        logger.info("Resumed from %s at epoch %d (lr %g)", resume, start_epoch, scheduler.lr)
     if sharding is not None:
         opt_state = jax.device_put(opt_state, replicated(sharding.mesh))
-    scheduler = ReduceLROnPlateau(lr=learning_rate, mode="max", patience=5)
     train_step = make_train_step(
         config, amp=amp, remat=remat, weight_decay=weight_decay,
         momentum=momentum, grad_clip=gradient_clipping,
@@ -185,7 +197,7 @@ def train_model(
     except ImportError:  # progress bars are cosmetic; never required
         tqdm = None
 
-    for epoch in range(1, epochs + 1):
+    for epoch in range(start_epoch, epochs + 1):
         epoch_loss = 0.0
         feed = prefetch_to_device(train_loader, buffer_size=2, sharding=sharding)
         pbar = (
@@ -249,6 +261,7 @@ def train_model(
                 params, bn_state,
                 mask_values=getattr(dataset, "mask_values", None),
                 extra={"epoch": epoch, "lr": scheduler.lr},
+                opt_state=opt_state if save_optimizer else None,
             )
             logger.info("Checkpoint %d saved!", epoch)
 
@@ -278,6 +291,10 @@ def get_args(argv=None):
     parser.add_argument("--checkpoint-dir", type=str, default=str(dir_checkpoint))
     parser.add_argument("--data-dir", type=str, default="./data")
     parser.add_argument("--wandb", action="store_true", default=False, help="Enable W&B logging (offline by default)")
+    parser.add_argument("--save-optimizer", action="store_true", default=False,
+                        help="Include optimizer state in checkpoints (enables full --resume)")
+    parser.add_argument("--resume", type=str, default=None,
+                        help="Full-state resume from a checkpoint (params+BN+optimizer+epoch)")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--profile", type=str, default=None,
                         help="Write a jax.profiler trace to this directory")
@@ -331,6 +348,8 @@ def main(argv=None):
             use_wandb=args.wandb,
             checkpoint_dir=Path(args.checkpoint_dir),
             seed=args.seed,
+            save_optimizer=args.save_optimizer,
+            resume=args.resume,
         )
 
     profiling = False
