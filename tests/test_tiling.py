@@ -38,6 +38,26 @@ def test_tiled_rejects_unaligned(net):
         tiled_forward(params, state, x, config=CONFIG, tile=32, halo=HALO)
 
 
+def test_predict_img_tiled_uses_tiler(net, tmp_path):
+    """predict_img_tiled runs the real tiled path on an aligned image and
+    matches the non-tiled predict output."""
+    from PIL import Image
+
+    from tpu_unet.parallel.tiling import predict_img_tiled
+    from tpu_unet.predict import predict_img
+
+    params, state = net
+    rng = np.random.default_rng(5)
+    img = Image.fromarray(rng.integers(0, 255, (384, 384, 3), dtype=np.uint8).astype(np.uint8))
+    tiled = predict_img_tiled(
+        params, state, CONFIG, img, tile=128, halo=HALO, scale_factor=1.0
+    )
+    full = predict_img(params, state, CONFIG, img, scale_factor=1.0)
+    assert tiled.shape == (384, 384)
+    # argmax masks identical except where logits are within fp noise of a tie.
+    assert (tiled != full).mean() < 1e-3
+
+
 def test_halo_sharded_equals_full(net):
     """8 bands over the virtual mesh, ppermute halo exchange, stitched output."""
     params, state = net
