@@ -33,25 +33,27 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _conv_kernel(xa_ref, xb_ref, w_ref, sb_ref, o_ref, *, th, apply_relu):
+def _conv_kernel(xa_ref, xb_ref, w_ref, sb_ref, o_ref, acc_ref, *, th, apply_relu):
     # xa/xb: [1, TH, Wp, Cin] consecutive input slabs; w: [3, 3, Cin, COb];
-    # sb: [2, COb] (scale, bias); o: [1, TH, W, COb].
+    # sb: [2, COb] (scale, bias); o: [1, TH, W, COb]; acc: VMEM scratch.
+    # Accumulating into a scratch REF (not a value) sequences the 9 taps —
+    # value-accumulation kept all tap temporaries live at once and blew the
+    # 16 MB VMEM stack at large W (measured: 34.8 MB at W=480).
     w_out = o_ref.shape[2]
     cin = xa_ref.shape[-1]
-    cout = o_ref.shape[-1]
 
     x = jnp.concatenate([xa_ref[0], xb_ref[0, :2]], axis=0)  # [TH+2, Wp, Cin]
-    acc = jnp.zeros((th * w_out, cout), jnp.float32)
+    acc_ref[...] = jnp.zeros_like(acc_ref)
     for dy in range(3):
         for dx in range(3):
             patch = x[dy : dy + th, dx : dx + w_out, :].reshape(th * w_out, cin)
-            acc = acc + jnp.dot(
+            acc_ref[...] += jnp.dot(
                 patch, w_ref[dy, dx], preferred_element_type=jnp.float32
             )
-    y = acc * sb_ref[0][None, :] + sb_ref[1][None, :]
+    y = acc_ref[...] * sb_ref[0][None, :] + sb_ref[1][None, :]
     if apply_relu:
         y = jnp.maximum(y, 0.0)
-    o_ref[0] = y.reshape(th, w_out, cout).astype(o_ref.dtype)
+    o_ref[0] = y.reshape(th, w_out, o_ref.shape[-1]).astype(o_ref.dtype)
 
 
 @functools.partial(
@@ -112,6 +114,7 @@ def fused_conv3x3_scale_relu(
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((n, ht * th, w_in, cout), out_dtype),
+        scratch_shapes=[pltpu.VMEM((th * w_in, cob), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=2 * 9 * n * ht * th * w_in * cin * cout,
             bytes_accessed=(

@@ -22,44 +22,47 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _dc_kernel(xa_ref, xb_ref, w1_ref, sb1_ref, w2_ref, sb2_ref, o_ref, *, th, h):
+def _dc_kernel(
+    xa_ref, xb_ref, w1_ref, sb1_ref, w2_ref, sb2_ref, o_ref,
+    acc1_ref, mid_ref, acc2_ref, *, th, h,
+):
     # xa/xb: [1, TH, W+4, Cin] two consecutive slabs (≥ TH+4 rows combined).
     # w1: [3,3,Cin,Cmid]; w2: [3,3,Cmid,COb]; sb: [2, C]; o: [1, TH, W, COb].
+    # acc1/mid/acc2: VMEM scratch — ref accumulation sequences the taps so
+    # the VMEM stack stays O(one patch) instead of O(9 patches) (value
+    # accumulation OOMed the 16 MB stack at W=480: 34.8 MB measured).
     w_out = o_ref.shape[2]
     cin = xa_ref.shape[-1]
     cmid = w1_ref.shape[-1]
-    cout = o_ref.shape[-1]
     mid_h, mid_w = th + 2, w_out + 2
 
     x = jnp.concatenate([xa_ref[0], xb_ref[0, :4]], axis=0)  # [TH+4, W+4, Cin]
 
-    acc1 = jnp.zeros((mid_h * mid_w, cmid), jnp.float32)
+    acc1_ref[...] = jnp.zeros_like(acc1_ref)
     for dy in range(3):
         for dx in range(3):
             patch = x[dy : dy + mid_h, dx : dx + mid_w, :].reshape(mid_h * mid_w, cin)
-            acc1 = acc1 + jnp.dot(patch, w1_ref[dy, dx], preferred_element_type=jnp.float32)
-    mid = jnp.maximum(acc1 * sb1_ref[0][None, :] + sb1_ref[1][None, :], 0.0)
+            acc1_ref[...] += jnp.dot(patch, w1_ref[dy, dx], preferred_element_type=jnp.float32)
+    mid = jnp.maximum(acc1_ref[...] * sb1_ref[0][None, :] + sb1_ref[1][None, :], 0.0)
     mid = mid.reshape(mid_h, mid_w, cmid)
 
     # conv2's SAME padding must be ZERO, but conv1 evaluated over the global
     # image border yields relu(bias) ≠ 0 there — zero the mid rows/cols whose
-    # global index falls outside the image.
+    # global index falls outside the image. 3-D iotas from the start: Mosaic
+    # cannot insert a minor dim on a 1-bit mask.
     i = pl.program_id(1)
-    # 3-D iotas from the start: Mosaic cannot insert a minor dim on the
-    # 1-bit mask ("Insertion of minor dim that is not a no-op only
-    # supported for 32-bit types").
     row_g = i * th - 1 + jax.lax.broadcasted_iota(jnp.int32, (mid_h, mid_w, 1), 0)
     col_g = jax.lax.broadcasted_iota(jnp.int32, (mid_h, mid_w, 1), 1) - 1
     inside = (row_g >= 0) & (row_g < h) & (col_g >= 0) & (col_g < w_out)
-    mid = jnp.where(inside, mid, 0.0).astype(x.dtype)  # stays in VMEM
+    mid_ref[...] = jnp.where(inside, mid, 0.0).astype(mid_ref.dtype)
 
-    acc2 = jnp.zeros((th * w_out, cout), jnp.float32)
+    acc2_ref[...] = jnp.zeros_like(acc2_ref)
     for dy in range(3):
         for dx in range(3):
-            patch = mid[dy : dy + th, dx : dx + w_out, :].reshape(th * w_out, cmid)
-            acc2 = acc2 + jnp.dot(patch, w2_ref[dy, dx], preferred_element_type=jnp.float32)
-    y = jnp.maximum(acc2 * sb2_ref[0][None, :] + sb2_ref[1][None, :], 0.0)
-    o_ref[0] = y.reshape(th, w_out, cout).astype(o_ref.dtype)
+            patch = mid_ref[dy : dy + th, dx : dx + w_out, :].reshape(th * w_out, cmid)
+            acc2_ref[...] += jnp.dot(patch, w2_ref[dy, dx], preferred_element_type=jnp.float32)
+    y = jnp.maximum(acc2_ref[...] * sb2_ref[0][None, :] + sb2_ref[1][None, :], 0.0)
+    o_ref[0] = y.reshape(th, w_out, o_ref.shape[-1]).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("tile_h", "cout_block", "out_dtype"))
@@ -124,6 +127,11 @@ def fused_double_conv(
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((n, ht * th, w_in, cout), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM(((th + 2) * (w_in + 2), cmid), jnp.float32),
+            pltpu.VMEM((th + 2, w_in + 2, cmid), x.dtype),
+            pltpu.VMEM((th * w_in, cob), jnp.float32),
+        ],
         cost_estimate=pl.CostEstimate(
             flops=2 * 9 * n * ht * th * w_in * (cin * cmid + cmid * cout),
             bytes_accessed=(
