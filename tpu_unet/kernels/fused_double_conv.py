@@ -4,12 +4,17 @@
 VMEM — it never touches HBM. At the U-Net's large-spatial levels (64–128
 channels) the DoubleConv is HBM-bound, so eliminating the mid-tensor
 round-trip (read+write of H·W·Cmid) is the dominant win; the cost is
-recomputing a 2-row halo of conv1 per slab (2/TH overhead).
+recomputing a 2-px halo of conv1 per block.
 
-Used for levels with Cin, Cmid ≤ 256 (weights for both convs must fit VMEM
-alongside the slabs); the bottleneck levels stay on the single fused conv /
-XLA path, which is compute-bound there anyway. Correctness asserted against
-two chained fused convs in tests/test_kernels.py.
+Blocking: grid (N, H/TH, W/WB, Cout/COb). A (TH+4)×(WB+4) input window is
+assembled from FOUR (TH, WB) slabs — (i,j), (i+1,j), (i,j+1), (i+1,j+1) —
+because this Pallas version has no overlapping BlockSpec windows; the host
+pads the array to the slab grid. Accumulation goes through VMEM scratch
+refs: value accumulation kept all 9 tap temporaries live and overflowed the
+16 MB VMEM stack at large widths (34.8 MB measured at W=480 unblocked).
+
+Correctness is asserted against two chained fused convs in
+tests/test_kernels.py and on-chip in the kernel smoke.
 """
 
 from __future__ import annotations
@@ -23,20 +28,18 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _dc_kernel(
-    xa_ref, xb_ref, w1_ref, sb1_ref, w2_ref, sb2_ref, o_ref,
-    acc1_ref, mid_ref, acc2_ref, *, th, h,
+    xa_ref, xb_ref, xc_ref, xd_ref, w1_ref, sb1_ref, w2_ref, sb2_ref, o_ref,
+    acc1_ref, mid_ref, acc2_ref, *, th, wb, h, w_img,
 ):
-    # xa/xb: [1, TH, W+4, Cin] two consecutive slabs (≥ TH+4 rows combined).
-    # w1: [3,3,Cin,Cmid]; w2: [3,3,Cmid,COb]; sb: [2, C]; o: [1, TH, W, COb].
-    # acc1/mid/acc2: VMEM scratch — ref accumulation sequences the taps so
-    # the VMEM stack stays O(one patch) instead of O(9 patches) (value
-    # accumulation OOMed the 16 MB stack at W=480: 34.8 MB measured).
-    w_out = o_ref.shape[2]
+    # Slabs: xa=(i,j) xb=(i+1,j) xc=(i,j+1) xd=(i+1,j+1), each [1, TH, WB, Cin].
+    # w1: [3,3,Cin,Cmid]; w2: [3,3,Cmid,COb]; sb: [2,C]; o: [1, TH, WB, COb].
     cin = xa_ref.shape[-1]
     cmid = w1_ref.shape[-1]
-    mid_h, mid_w = th + 2, w_out + 2
+    mid_h, mid_w = th + 2, wb + 2
 
-    x = jnp.concatenate([xa_ref[0], xb_ref[0, :4]], axis=0)  # [TH+4, W+4, Cin]
+    left = jnp.concatenate([xa_ref[0], xb_ref[0, :4]], axis=0)   # [TH+4, WB, Cin]
+    right = jnp.concatenate([xc_ref[0, :, :4], xd_ref[0, :4, :4]], axis=0)
+    x = jnp.concatenate([left, right], axis=1)                   # [TH+4, WB+4, Cin]
 
     acc1_ref[...] = jnp.zeros_like(acc1_ref)
     for dy in range(3):
@@ -47,25 +50,28 @@ def _dc_kernel(
     mid = mid.reshape(mid_h, mid_w, cmid)
 
     # conv2's SAME padding must be ZERO, but conv1 evaluated over the global
-    # image border yields relu(bias) ≠ 0 there — zero the mid rows/cols whose
-    # global index falls outside the image. 3-D iotas from the start: Mosaic
-    # cannot insert a minor dim on a 1-bit mask.
+    # image border yields relu(bias) ≠ 0 there — zero mid rows/cols whose
+    # global index is outside the image. 3-D iotas (Mosaic cannot insert a
+    # minor dim on a 1-bit mask).
     i = pl.program_id(1)
+    j = pl.program_id(2)
     row_g = i * th - 1 + jax.lax.broadcasted_iota(jnp.int32, (mid_h, mid_w, 1), 0)
-    col_g = jax.lax.broadcasted_iota(jnp.int32, (mid_h, mid_w, 1), 1) - 1
-    inside = (row_g >= 0) & (row_g < h) & (col_g >= 0) & (col_g < w_out)
+    col_g = j * wb - 1 + jax.lax.broadcasted_iota(jnp.int32, (mid_h, mid_w, 1), 1)
+    inside = (row_g >= 0) & (row_g < h) & (col_g >= 0) & (col_g < w_img)
     mid_ref[...] = jnp.where(inside, mid, 0.0).astype(mid_ref.dtype)
 
     acc2_ref[...] = jnp.zeros_like(acc2_ref)
     for dy in range(3):
         for dx in range(3):
-            patch = mid_ref[dy : dy + th, dx : dx + w_out, :].reshape(th * w_out, cmid)
+            patch = mid_ref[dy : dy + th, dx : dx + wb, :].reshape(th * wb, cmid)
             acc2_ref[...] += jnp.dot(patch, w2_ref[dy, dx], preferred_element_type=jnp.float32)
     y = jnp.maximum(acc2_ref[...] * sb2_ref[0][None, :] + sb2_ref[1][None, :], 0.0)
-    o_ref[0] = y.reshape(th, w_out, o_ref.shape[-1]).astype(o_ref.dtype)
+    o_ref[0] = y.reshape(th, wb, o_ref.shape[-1]).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("tile_h", "cout_block", "out_dtype"))
+@functools.partial(
+    jax.jit, static_argnames=("tile_h", "tile_w", "cout_block", "out_dtype")
+)
 def fused_double_conv(
     x: jax.Array,
     w1: jax.Array,
@@ -76,6 +82,7 @@ def fused_double_conv(
     bias2: jax.Array,
     *,
     tile_h: int = 8,
+    tile_w: int = 128,
     cout_block: int | None = None,
     out_dtype=None,
 ) -> jax.Array:
@@ -85,64 +92,76 @@ def fused_double_conv(
     reference (unet/unet_parts.py — DoubleConv, UNVERIFIED mount) as ONE
     TPU kernel.
     """
-    n, h, w_in, cin = x.shape
+    n, h, w_img, cin = x.shape
     cmid = w1.shape[-1]
     cout = w2.shape[-1]
     out_dtype = out_dtype or x.dtype
 
-    th = max(4, min(tile_h, h))  # two TH-slabs must cover TH+4 rows
+    th = max(4, min(tile_h, h))
+    wb = max(8, min(tile_w, w_img))
     ht = -(-h // th)
+    wt = -(-w_img // wb)
     cob = cout_block or min(cout, 256)
     if cout % cob:
         raise ValueError(f"cout {cout} not divisible by cout_block {cob}")
     ct = cout // cob
 
-    # Pad: 2 top/left for the two SAME convs; bottom up to (ht+1) slabs.
-    pad_h_total = (ht + 1) * th
-    xp = jnp.pad(x, ((0, 0), (2, pad_h_total - h - 2), (2, 2), (0, 0)))
-    wp = w_in + 4
+    # Pad: 2 top/left for the two SAME convs; out to (grid+1) slabs each way.
+    xp = jnp.pad(
+        x,
+        (
+            (0, 0),
+            (2, (ht + 1) * th - h - 2),
+            (2, (wt + 1) * wb - w_img - 2),
+            (0, 0),
+        ),
+    )
 
     sb1 = jnp.stack([scale1.astype(jnp.float32), bias1.astype(jnp.float32)])
     sb2 = jnp.stack([scale2.astype(jnp.float32), bias2.astype(jnp.float32)])
 
+    def slab(di, dj):
+        return pl.BlockSpec(
+            (1, th, wb, cin),
+            lambda b, i, j, c, di=di, dj=dj: (b, i + di, j + dj, 0),
+            memory_space=pltpu.VMEM,
+        )
+
     out = pl.pallas_call(
-        functools.partial(_dc_kernel, th=th, h=h),
-        grid=(n, ht, ct),
+        functools.partial(_dc_kernel, th=th, wb=wb, h=h, w_img=w_img),
+        grid=(n, ht, wt, ct),
         in_specs=[
-            pl.BlockSpec((1, th, wp, cin), lambda b, i, c: (b, i, 0, 0),
+            slab(0, 0), slab(1, 0), slab(0, 1), slab(1, 1),
+            pl.BlockSpec((3, 3, cin, cmid), lambda b, i, j, c: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, th, wp, cin), lambda b, i, c: (b, i + 1, 0, 0),
+            pl.BlockSpec((2, cmid), lambda b, i, j, c: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, 3, cin, cmid), lambda b, i, c: (0, 0, 0, 0),
+            pl.BlockSpec((3, 3, cmid, cob), lambda b, i, j, c: (0, 0, 0, c),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, cmid), lambda b, i, c: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, 3, cmid, cob), lambda b, i, c: (0, 0, 0, c),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, cob), lambda b, i, c: (0, c),
+            pl.BlockSpec((2, cob), lambda b, i, j, c: (0, c),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, th, w_in, cob), lambda b, i, c: (b, i, 0, c),
+            (1, th, wb, cob), lambda b, i, j, c: (b, i, j, c),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((n, ht * th, w_in, cout), out_dtype),
+        out_shape=jax.ShapeDtypeStruct((n, ht * th, wt * wb, cout), out_dtype),
         scratch_shapes=[
-            pltpu.VMEM(((th + 2) * (w_in + 2), cmid), jnp.float32),
-            pltpu.VMEM((th + 2, w_in + 2, cmid), x.dtype),
-            pltpu.VMEM((th * w_in, cob), jnp.float32),
+            pltpu.VMEM(((th + 2) * (wb + 2), cmid), jnp.float32),
+            pltpu.VMEM((th + 2, wb + 2, cmid), x.dtype),
+            pltpu.VMEM((th * wb, cob), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * 9 * n * ht * th * w_in * (cin * cmid + cmid * cout),
+            flops=2 * 9 * n * ht * th * wt * wb * (cin * cmid + cmid * cout),
             bytes_accessed=(
-                xp.size * xp.dtype.itemsize * 2
+                xp.size * xp.dtype.itemsize * 4
                 + (w1.size + w2.size) * w1.dtype.itemsize
-                + n * h * w_in * cout * jnp.dtype(out_dtype).itemsize
+                + n * h * w_img * cout * jnp.dtype(out_dtype).itemsize
             ),
             transcendentals=0,
         ),
-    )(xp, xp, w1, sb1, w2, sb2)
-    return out[:, :h]
+    )(xp, xp, xp, xp, w1, sb1, w2, sb2)
+    return out[:, :h, :w_img]
 
 
 # Channel ceiling for the fused path: both weight tensors and the VMEM mid
