@@ -168,6 +168,41 @@ class CarvanaDataset(BasicDataset):
         super().__init__(images_dir, mask_dir, scale, mask_suffix="_mask", num_workers=num_workers)
 
 
+class RawDataset(BasicDataset):
+    """Decode-only dataset for the device-side preprocessing pipeline.
+
+    __getitem__ returns raw uint8 arrays (no resize/normalize on host) —
+    data/device_pipeline.py does the rest on the TPU. Requires uniform raw
+    image sizes (true for Carvana); asserts on the first mismatch.
+    """
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        first = load_image(list(self.images_dir.glob(self.ids[0] + ".*"))[0])
+        self.raw_w, self.raw_h = first.size
+
+    def __getitem__(self, idx):
+        name = self.ids[idx]
+        mask_file = list(self.mask_dir.glob(name + self.mask_suffix + ".*"))
+        img_file = list(self.images_dir.glob(name + ".*"))
+        assert len(img_file) == 1 and len(mask_file) == 1, f"bad id {name}"
+        img = load_image(img_file[0])
+        mask = load_image(mask_file[0])
+        assert img.size == (self.raw_w, self.raw_h), (
+            f"RawDataset requires uniform image sizes; {name} is {img.size}, "
+            f"expected {(self.raw_w, self.raw_h)}"
+        )
+        img_arr = np.asarray(img)
+        if img_arr.ndim == 2:
+            img_arr = img_arr[..., None]
+        return {"image": img_arr.astype(np.uint8), "mask": np.asarray(mask)}
+
+
+class RawCarvanaDataset(RawDataset):
+    def __init__(self, images_dir, mask_dir, scale=1.0, num_workers=None):
+        super().__init__(images_dir, mask_dir, scale, mask_suffix="_mask", num_workers=num_workers)
+
+
 def random_split_indices(n: int, val_fraction: float, seed: int = 0):
     """Deterministic train/val split with torch.random_split parity.
 

@@ -128,6 +128,7 @@ def train_model(
     seed: int = 0,
     save_optimizer: bool = False,
     resume: str | None = None,
+    device_preprocess: bool = False,
 ):
     """The reference's train_model, TPU-native. Returns (params, bn_state, history)."""
     # 1–2. Split into train / validation partitions (torch randperm parity).
@@ -140,6 +141,19 @@ def train_model(
         drop_last=data_parallel,  # static sharded shapes under DP
     )
     val_loader = DataLoader(dataset, batch_size, shuffle=False, indices=val_idx)
+    if device_preprocess:
+        # North-star fast path: host decodes uint8 only; resize/normalize/
+        # palette-index run on device (data/device_pipeline.py).
+        from tpu_unet.data.device_pipeline import DevicePipeline
+
+        def wrap(loader):
+            return DevicePipeline(
+                loader, dataset.mask_values, dataset.scale,
+                dataset.raw_h, dataset.raw_w,
+            )
+
+        train_loader = wrap(train_loader)
+        val_loader = wrap(val_loader)
 
     sharding = None
     if data_parallel and jax.device_count() > 1:
@@ -291,6 +305,9 @@ def get_args(argv=None):
     parser.add_argument("--checkpoint-dir", type=str, default=str(dir_checkpoint))
     parser.add_argument("--data-dir", type=str, default="./data")
     parser.add_argument("--wandb", action="store_true", default=False, help="Enable W&B logging (offline by default)")
+    parser.add_argument("--device-preprocess", action="store_true", default=False,
+                        help="Decode on host, resize/normalize on the TPU "
+                             "(fast path; host PIL preprocess is the parity-exact default)")
     parser.add_argument("--save-optimizer", action="store_true", default=False,
                         help="Include optimizer state in checkpoints (enables full --resume)")
     parser.add_argument("--resume", type=str, default=None,
@@ -329,10 +346,18 @@ def main(argv=None):
         logger.info("Model loaded from %s", args.load)
 
     data_dir = Path(args.data_dir)
-    try:
-        dataset = CarvanaDataset(data_dir / "imgs", data_dir / "masks", args.scale)
-    except (AssertionError, RuntimeError, IndexError):
-        dataset = BasicDataset(data_dir / "imgs", data_dir / "masks", args.scale)
+    if args.device_preprocess:
+        from tpu_unet.data.loading import RawCarvanaDataset, RawDataset
+
+        try:
+            dataset = RawCarvanaDataset(data_dir / "imgs", data_dir / "masks", args.scale)
+        except (AssertionError, RuntimeError, IndexError):
+            dataset = RawDataset(data_dir / "imgs", data_dir / "masks", args.scale)
+    else:
+        try:
+            dataset = CarvanaDataset(data_dir / "imgs", data_dir / "masks", args.scale)
+        except (AssertionError, RuntimeError, IndexError):
+            dataset = BasicDataset(data_dir / "imgs", data_dir / "masks", args.scale)
 
     def run(remat: bool):
         return train_model(
@@ -350,6 +375,7 @@ def main(argv=None):
             seed=args.seed,
             save_optimizer=args.save_optimizer,
             resume=args.resume,
+            device_preprocess=args.device_preprocess,
         )
 
     profiling = False
