@@ -68,6 +68,23 @@ def test_folded_bn_inference_matches_train_false(bilinear):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-3, rtol=1e-3)
 
 
+@pytest.mark.parametrize("hw", [(12, 20), (16, 60)])  # 60: wb rounds up to 64
+def test_fused_double_conv_matches_chained_hw(rng, hw):
+    from tpu_unet.kernels.fused_double_conv import fused_double_conv
+
+    x = jnp.asarray(rng.standard_normal((1, *hw, 8), dtype=np.float32))
+    w1 = jnp.asarray(rng.standard_normal((3, 3, 8, 16), dtype=np.float32) * 0.2)
+    w2 = jnp.asarray(rng.standard_normal((3, 3, 16, 16), dtype=np.float32) * 0.2)
+    s1, b1 = jnp.asarray(rng.standard_normal(16, dtype=np.float32)), jnp.asarray(rng.standard_normal(16, dtype=np.float32))
+    s2, b2 = jnp.asarray(rng.standard_normal(16, dtype=np.float32)), jnp.asarray(rng.standard_normal(16, dtype=np.float32))
+
+    mid = jax.nn.relu(conv2d(x, w1, stride=1, padding=1) * s1 + b1)
+    ref = jax.nn.relu(conv2d(mid, w2, stride=1, padding=1) * s2 + b2)
+    with pltpu.force_tpu_interpret_mode():
+        out = fused_double_conv(x, w1, s1, b1, w2, s2, b2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-3, rtol=1e-3)
+
+
 def test_fused_double_conv_matches_chained(rng):
     from tpu_unet.kernels.fused_double_conv import fused_double_conv
 

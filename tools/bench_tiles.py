@@ -37,12 +37,6 @@ def main():
     out = run(window)
     float(jnp.sum(out[0, 0, 0]))  # compile + sync
 
-    # RTT estimate: trivial fetch.
-    t0 = time.perf_counter()
-    for _ in range(5):
-        float(jnp.sum(window[0, 0, 0]))
-    rtt = (time.perf_counter() - t0) / 5
-
     lat = []
     for _ in range(16):  # a 2048² image is 16 tiles of 512²
         t0 = time.perf_counter()
@@ -50,6 +44,17 @@ def main():
         float(jnp.sum(out[0, 0, 0]))
         lat.append(time.perf_counter() - t0)
     p50 = float(np.percentile(lat, 50))
+
+    # RTT estimate AFTER the latency loop (warm everything), median of 9
+    # trivial fetches of a tiny precomputed sum.
+    tiny = jnp.sum(window[0, 0, 0])
+    float(tiny)
+    rtts = []
+    for _ in range(9):
+        t0 = time.perf_counter()
+        float(tiny + 0.0)
+        rtts.append(time.perf_counter() - t0)
+    rtt = float(np.median(rtts))
     print(json.dumps({
         "metric": "p50 per-tile latency (512^2 core + 128 halo, 2048^2 image)",
         "value": round(p50 * 1e3, 2),

@@ -98,7 +98,8 @@ def fused_double_conv(
     out_dtype = out_dtype or x.dtype
 
     th = max(4, min(tile_h, h))
-    wb = max(8, min(tile_w, w_img))
+    # Pallas TPU requires the second-to-last block dim divisible by 8.
+    wb = max(8, min(tile_w, -(-w_img // 8) * 8))
     ht = -(-h // th)
     wt = -(-w_img // wb)
     cob = cout_block or min(cout, 256)
