@@ -30,7 +30,10 @@ def _pool_kernel(x_ref, o_ref):
 
 
 @functools.partial(jax.jit, static_argnames=("tile_h",))
-def max_pool2x2(x: jax.Array, *, tile_h: int = 16) -> jax.Array:
+def max_pool2x2(x: jax.Array, *, tile_h: int = 8) -> jax.Array:
+    # tile_h=8: the pair-splitting reshapes cost ~9× the input block in VMEM
+    # stack (relayout copies); 16 rows OOMed the 16 MB limit at 480×64
+    # (18.57 MB measured), 8 rows peak ≈ 9.3 MB at the worst U-Net shape.
     """[N,H,W,C] → [N,H//2,W//2,C], floor mode (odd trailing row/col dropped)."""
     n, h, w, c = x.shape
     h2, w2 = h // 2, w // 2
