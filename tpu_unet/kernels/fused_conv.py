@@ -44,12 +44,21 @@ def _conv_kernel(xa_ref, xb_ref, w_ref, sb_ref, o_ref, acc_ref, *, th, apply_rel
 
     x = jnp.concatenate([xa_ref[0], xb_ref[0, :2]], axis=0)  # [TH+2, Wp, Cin]
     acc_ref[...] = jnp.zeros_like(acc_ref)
-    for dy in range(3):
-        for dx in range(3):
-            patch = x[dy : dy + th, dx : dx + w_out, :].reshape(th * w_out, cin)
-            acc_ref[...] += jnp.dot(
-                patch, w_ref[dy, dx], preferred_element_type=jnp.float32
-            )
+
+    # fori_loop (not an unrolled Python loop): with 9 unrolled taps Mosaic
+    # co-hoists all patch copies and the kernel stack overflows at wide
+    # channels (18.5 MB measured at Cin=1024 fp32); the traced loop keeps
+    # exactly one patch live.
+    def tap(k, _):
+        dy, dx = k // 3, k % 3
+        patch = jax.lax.dynamic_slice(x, (dy, dx, 0), (th, w_out, cin))
+        acc_ref[...] += jnp.dot(
+            patch.reshape(th * w_out, cin), w_ref[dy, dx],
+            preferred_element_type=jnp.float32,
+        )
+        return 0
+
+    jax.lax.fori_loop(0, 9, tap, 0)
     y = acc_ref[...] * sb_ref[0][None, :] + sb_ref[1][None, :]
     if apply_relu:
         y = jnp.maximum(y, 0.0)
@@ -81,7 +90,10 @@ def fused_conv3x3_scale_relu(
 
     th = min(tile_h, h)
     ht = -(-h // th)  # number of output slabs
-    cob = cout_block or min(cout, 256)
+    # Weight block 9·Cin·COb·itemsize must stay a few MB: shrink COb for
+    # wide layers (bottleneck 1024ch fp32 would otherwise be 9.4 MB/block).
+    default_cob = 128 if cin >= 512 else 256
+    cob = cout_block or min(cout, default_cob)
     ct = -(-cout // cob)
     if cout % cob:
         raise ValueError(f"cout {cout} not divisible by cout_block {cob}")
