@@ -33,25 +33,27 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _conv_kernel(xa_ref, xb_ref, w_ref, sb_ref, o_ref, acc_ref, *, th, apply_relu):
+def _conv_kernel(xa_ref, xb_ref, w_ref, sb_ref, o_ref, acc_ref, x_ref, *, th, apply_relu):
     # xa/xb: [1, TH, Wp, Cin] consecutive input slabs; w: [3, 3, Cin, COb];
-    # sb: [2, COb] (scale, bias); o: [1, TH, W, COb]; acc: VMEM scratch.
+    # sb: [2, COb] (scale, bias); o: [1, TH, W, COb]; acc/x: VMEM scratch.
     # Accumulating into a scratch REF (not a value) sequences the 9 taps —
     # value-accumulation kept all tap temporaries live at once and blew the
     # 16 MB VMEM stack at large W (measured: 34.8 MB at W=480).
     w_out = o_ref.shape[2]
     cin = xa_ref.shape[-1]
 
-    x = jnp.concatenate([xa_ref[0], xb_ref[0, :2]], axis=0)  # [TH+2, Wp, Cin]
+    x_ref[:th] = xa_ref[0]
+    x_ref[th:] = xb_ref[0, :2]
     acc_ref[...] = jnp.zeros_like(acc_ref)
 
     # fori_loop (not an unrolled Python loop): with 9 unrolled taps Mosaic
     # co-hoists all patch copies and the kernel stack overflows at wide
     # channels (18.5 MB measured at Cin=1024 fp32); the traced loop keeps
-    # exactly one patch live.
+    # exactly one patch live. Dynamic starts must index a REF (Mosaic has no
+    # dynamic_slice on values), hence the x scratch.
     def tap(k, _):
         dy, dx = k // 3, k % 3
-        patch = jax.lax.dynamic_slice(x, (dy, dx, 0), (th, w_out, cin))
+        patch = x_ref[pl.ds(dy, th), pl.ds(dx, w_out), :]
         acc_ref[...] += jnp.dot(
             patch.reshape(th * w_out, cin), w_ref[dy, dx],
             preferred_element_type=jnp.float32,
@@ -126,7 +128,10 @@ def fused_conv3x3_scale_relu(
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((n, ht * th, w_in, cout), out_dtype),
-        scratch_shapes=[pltpu.VMEM((th * w_in, cob), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((th * w_in, cob), jnp.float32),
+            pltpu.VMEM((th + 2, wp, cin), xp.dtype),
+        ],
         cost_estimate=pl.CostEstimate(
             flops=2 * 9 * n * ht * th * w_in * cin * cout,
             bytes_accessed=(
