@@ -46,21 +46,23 @@ def _conv_kernel(xa_ref, xb_ref, w_ref, sb_ref, o_ref, acc_ref, x_ref, *, th, ap
     x_ref[th:] = xb_ref[0, :2]
     acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    # fori_loop (not an unrolled Python loop): with 9 unrolled taps Mosaic
-    # co-hoists all patch copies and the kernel stack overflows at wide
-    # channels (18.5 MB measured at Cin=1024 fp32); the traced loop keeps
-    # exactly one patch live. Dynamic starts must index a REF (Mosaic has no
-    # dynamic_slice on values), hence the x scratch.
-    def tap(k, _):
-        dy, dx = k // 3, k % 3
-        patch = x_ref[pl.ds(dy, th), pl.ds(dx, w_out), :]
-        acc_ref[...] += jnp.dot(
-            patch.reshape(th * w_out, cin), w_ref[dy, dx],
-            preferred_element_type=jnp.float32,
-        )
+    # fori over dy only: with all 9 taps unrolled Mosaic co-hoists every
+    # patch copy and the kernel stack overflows at wide channels (18.5 MB
+    # measured at Cin=1024 fp32). Constraints shaping this form: Mosaic has
+    # no dynamic_slice on VALUES (hence the x scratch ref), and dynamic ref
+    # starts on the sublane (W) dim must be 8-aligned — so dy (dim 0,
+    # unconstrained) is the traced index while dx stays static; at most 3
+    # patches are live.
+    def tap_row(dy, _):
+        for dx in range(3):
+            patch = x_ref[pl.ds(dy, th), dx : dx + w_out, :]
+            acc_ref[...] += jnp.dot(
+                patch.reshape(th * w_out, cin), w_ref[dy, dx],
+                preferred_element_type=jnp.float32,
+            )
         return 0
 
-    jax.lax.fori_loop(0, 9, tap, 0)
+    jax.lax.fori_loop(0, 3, tap_row, 0)
     y = acc_ref[...] * sb_ref[0][None, :] + sb_ref[1][None, :]
     if apply_relu:
         y = jnp.maximum(y, 0.0)
