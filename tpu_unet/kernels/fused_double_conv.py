@@ -29,23 +29,35 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _dc_kernel(
     xa_ref, xb_ref, xc_ref, xd_ref, w1_ref, sb1_ref, w2_ref, sb2_ref, o_ref,
-    acc1_ref, mid_ref, acc2_ref, *, th, wb, h, w_img,
+    acc1_ref, mid_ref, acc2_ref, x_ref, *, th, wb, h, w_img,
 ):
     # Slabs: xa=(i,j) xb=(i+1,j) xc=(i,j+1) xd=(i+1,j+1), each [1, TH, WB, Cin].
     # w1: [3,3,Cin,Cmid]; w2: [3,3,Cmid,COb]; sb: [2,C]; o: [1, TH, WB, COb].
+    # Scratch: acc1/acc2 fp32 accumulators, mid (VMEM-resident intermediate),
+    # x (assembled window) — ref-staging + traced-dy tap loops keep the
+    # kernel stack at ≤3 live patches (9 unrolled taps OOMed at fp32/256ch:
+    # 19.0 MB measured vs the 16 MB limit).
     cin = xa_ref.shape[-1]
     cmid = w1_ref.shape[-1]
     mid_h, mid_w = th + 2, wb + 2
 
-    left = jnp.concatenate([xa_ref[0], xb_ref[0, :4]], axis=0)   # [TH+4, WB, Cin]
-    right = jnp.concatenate([xc_ref[0, :, :4], xd_ref[0, :4, :4]], axis=0)
-    x = jnp.concatenate([left, right], axis=1)                   # [TH+4, WB+4, Cin]
+    x_ref[:th, :wb] = xa_ref[0]
+    x_ref[th:, :wb] = xb_ref[0, :4]
+    x_ref[:th, wb:] = xc_ref[0, :, :4]
+    x_ref[th:, wb:] = xd_ref[0, :4, :4]
 
     acc1_ref[...] = jnp.zeros_like(acc1_ref)
-    for dy in range(3):
+
+    def tap1(dy, _):
         for dx in range(3):
-            patch = x[dy : dy + mid_h, dx : dx + mid_w, :].reshape(mid_h * mid_w, cin)
-            acc1_ref[...] += jnp.dot(patch, w1_ref[dy, dx], preferred_element_type=jnp.float32)
+            patch = x_ref[pl.ds(dy, mid_h), dx : dx + mid_w, :]
+            acc1_ref[...] += jnp.dot(
+                patch.reshape(mid_h * mid_w, cin), w1_ref[dy, dx],
+                preferred_element_type=jnp.float32,
+            )
+        return 0
+
+    jax.lax.fori_loop(0, 3, tap1, 0)
     mid = jnp.maximum(acc1_ref[...] * sb1_ref[0][None, :] + sb1_ref[1][None, :], 0.0)
     mid = mid.reshape(mid_h, mid_w, cmid)
 
@@ -61,10 +73,17 @@ def _dc_kernel(
     mid_ref[...] = jnp.where(inside, mid, 0.0).astype(mid_ref.dtype)
 
     acc2_ref[...] = jnp.zeros_like(acc2_ref)
-    for dy in range(3):
+
+    def tap2(dy, _):
         for dx in range(3):
-            patch = mid_ref[dy : dy + th, dx : dx + wb, :].reshape(th * wb, cmid)
-            acc2_ref[...] += jnp.dot(patch, w2_ref[dy, dx], preferred_element_type=jnp.float32)
+            patch = mid_ref[pl.ds(dy, th), dx : dx + wb, :]
+            acc2_ref[...] += jnp.dot(
+                patch.reshape(th * wb, cmid), w2_ref[dy, dx],
+                preferred_element_type=jnp.float32,
+            )
+        return 0
+
+    jax.lax.fori_loop(0, 3, tap2, 0)
     y = jnp.maximum(acc2_ref[...] * sb2_ref[0][None, :] + sb2_ref[1][None, :], 0.0)
     o_ref[0] = y.reshape(th, wb, o_ref.shape[-1]).astype(o_ref.dtype)
 
@@ -151,6 +170,7 @@ def fused_double_conv(
             pltpu.VMEM(((th + 2) * (wb + 2), cmid), jnp.float32),
             pltpu.VMEM((th + 2, wb + 2, cmid), x.dtype),
             pltpu.VMEM((th * wb, cob), jnp.float32),
+            pltpu.VMEM((th + 4, wb + 4, cin), xp.dtype),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * 9 * n * ht * th * wt * wb * (cin * cmid + cmid * cout),
