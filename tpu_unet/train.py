@@ -211,8 +211,13 @@ def train_model(
     except ImportError:  # progress bars are cosmetic; never required
         tqdm = None
 
+    def drain_losses():
+        if pending_losses:
+            history["train_loss"].extend(float(l) for l in jax.device_get(pending_losses))
+            pending_losses.clear()
+
     for epoch in range(start_epoch, epochs + 1):
-        epoch_loss = 0.0
+        pending_losses: list = []
         feed = prefetch_to_device(train_loader, buffer_size=2, sharding=sharding)
         pbar = (
             tqdm(total=n_train, desc=f"Epoch {epoch}/{epochs}", unit="img", leave=False)
@@ -226,17 +231,20 @@ def train_model(
                 jnp.float32(scheduler.lr),
             )
             global_step += 1
-            loss_val = float(loss)
-            epoch_loss += loss_val
-            history["train_loss"].append(loss_val)
+            # Keep the loss on device: a float() here costs a full D2H sync
+            # (~29 ms on the relay) EVERY step; values are fetched lazily at
+            # validation/epoch boundaries instead.
+            pending_losses.append(loss)
             if pbar:
                 pbar.update(images.shape[0])
-                pbar.set_postfix(loss=f"{loss_val:.4f}")
+                if experiment or global_step % 10 == 0:
+                    pbar.set_postfix(loss=f"{float(loss):.4f}")
             if experiment:
-                experiment.log({"train loss": loss_val, "step": global_step, "epoch": epoch})
+                experiment.log({"train loss": float(loss), "step": global_step, "epoch": epoch})
 
             # Validation 5×/epoch, reference cadence.
             if division_step > 0 and global_step % division_step == 0:
+                drain_losses()
                 val_dice, val_iou = evaluate(params, bn_state, val_loader, config, amp)
                 lr_now = scheduler.step(val_dice)
                 history["val_dice"].append(val_dice)
@@ -265,7 +273,12 @@ def train_model(
 
         if pbar:
             pbar.close()
-        logger.info("Epoch %d finished, mean loss %f", epoch, epoch_loss / max(len(train_loader), 1))
+        drain_losses()
+        epoch_losses = history["train_loss"][-len(train_loader):]
+        logger.info(
+            "Epoch %d finished, mean loss %f",
+            epoch, float(np.mean(epoch_losses)) if epoch_losses else float("nan"),
+        )
         if save_checkpoint_flag:
             checkpoint_dir.mkdir(parents=True, exist_ok=True)
             # Async: fetch-to-host now, write on a background thread while
