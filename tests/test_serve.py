@@ -1,0 +1,86 @@
+"""Batched inference server: micro-batching correctness + HTTP surface."""
+
+import io
+import threading
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import jax
+
+from tpu_unet.models import UNetConfig, init_unet
+from tpu_unet.serve import BatchedPredictor, make_handler
+
+
+@pytest.fixture(scope="module")
+def predictor():
+    config = UNetConfig(3, 1, bilinear=True, base_channels=8)
+    params, state = init_unet(jax.random.PRNGKey(0), config)
+    p = BatchedPredictor(
+        params, state, config, [0, 255],
+        scale=1.0, amp=False, max_batch=4, batch_window_ms=20.0,
+    )
+    yield p
+    p.stop()
+
+
+def _img(rng, h=48, w=64):
+    return Image.fromarray(rng.integers(0, 255, (h, w, 3), dtype=np.uint8).astype(np.uint8))
+
+
+def test_predict_one(predictor, rng):
+    mask = predictor.predict_one(_img(rng))
+    assert mask.shape == (48, 64) and mask.dtype == bool
+
+
+def test_concurrent_requests_microbatch(predictor, rng):
+    """Concurrent requests share a batch; every caller gets its own mask."""
+    from tpu_unet.predict import predict_img
+
+    imgs = [_img(rng) for _ in range(4)]
+    results = [None] * 4
+
+    def call(k):
+        results[k] = predictor.predict_one(imgs[k])
+
+    threads = [threading.Thread(target=call, args=(k,)) for k in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=60)
+    assert all(r is not None for r in results)
+    # Batched-and-padded result must equal the single-image predict path.
+    config = UNetConfig(3, 1, bilinear=True, base_channels=8)
+    # (re-create the same params the fixture used)
+    params, state = init_unet(jax.random.PRNGKey(0), config)
+    solo = predict_img(params, state, config, imgs[0], scale_factor=1.0)
+    np.testing.assert_array_equal(results[0], solo)
+
+
+def test_http_endpoints(predictor, rng):
+    import http.client
+    from http.server import ThreadingHTTPServer
+
+    server = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(predictor))
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+        conn.request("GET", "/healthz")
+        r = conn.getresponse()
+        assert r.status == 200 and b'"ok"' in r.read()
+
+        buf = io.BytesIO()
+        _img(rng).save(buf, format="PNG")
+        conn.request("POST", "/predict", body=buf.getvalue())
+        r = conn.getresponse()
+        assert r.status == 200
+        mask = np.asarray(Image.open(io.BytesIO(r.read())))
+        assert mask.shape == (48, 64)
+
+        conn.request("GET", "/nope")
+        assert conn.getresponse().status == 404
+    finally:
+        server.shutdown()

@@ -1,0 +1,251 @@
+"""Batched inference server — the production-serving surface.
+
+The reference has no serving layer (its predict.py is a one-shot CLI,
+SURVEY.md §1); this is the deployment counterpart for the brief's
+"large-scale production deployment and serving": a small HTTP server holding
+the model resident on the TPU with a MICRO-BATCHING queue — concurrent
+requests arriving within ``batch_window_ms`` are padded into one fixed-shape
+batch so the jitted forward compiles once and the MXU sees full batches.
+
+Endpoints:
+  POST /predict   body: PNG/JPEG bytes → PNG mask (reference predict_img
+                  semantics: preprocess → forward → logit-upscale →
+                  threshold/argmax → palette)
+  GET  /healthz   liveness + model metadata JSON
+
+Run: ``python -m tpu_unet.serve -m ckpt.npz --port 8000 [--kernels pallas]``
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import io
+import json
+import logging
+import queue
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+from PIL import Image
+
+import jax
+import jax.numpy as jnp
+
+from tpu_unet.data.loading import BasicDataset
+from tpu_unet.models import UNetConfig, init_unet, unet_apply
+from tpu_unet.ops import resize_bilinear
+from tpu_unet.predict import mask_to_image
+
+logger = logging.getLogger(__name__)
+
+
+class BatchedPredictor:
+    """Model + micro-batching queue. Thread-safe ``predict_one`` entry."""
+
+    def __init__(
+        self,
+        params,
+        state,
+        config: UNetConfig,
+        mask_values,
+        *,
+        scale: float = 0.5,
+        threshold: float = 0.5,
+        amp: bool = True,
+        max_batch: int = 8,
+        batch_window_ms: float = 5.0,
+        kernels: str | None = None,
+    ):
+        self.config = config
+        self.mask_values = mask_values or ([0, 1] if config.n_classes == 1 else list(range(config.n_classes)))
+        self.scale = scale
+        self.threshold = threshold
+        self.amp = amp
+        self.max_batch = max_batch
+        self.batch_window = batch_window_ms / 1e3
+        self._queue: queue.Queue = queue.Queue()
+        self._stop = threading.Event()
+
+        if kernels:
+            from tpu_unet.models.infer import fold_bn, unet_infer_apply
+
+            folded = fold_bn(params, state, config)
+
+            def fwd(x):
+                return unet_infer_apply(
+                    folded, x, config=config, backend=kernels,
+                    compute_dtype=jnp.bfloat16 if amp else None,
+                )
+        else:
+            @functools.partial(jax.jit)
+            def fwd(x):
+                logits, _ = unet_apply(
+                    params, state, x, config=config, train=False,
+                    compute_dtype=jnp.bfloat16 if amp else None,
+                )
+                return logits
+
+        self._fwd = fwd
+        self._worker = threading.Thread(target=self._loop, daemon=True)
+        self._worker.start()
+
+    # -- client side ------------------------------------------------------
+    def predict_one(self, img: Image.Image, timeout: float = 60.0) -> np.ndarray:
+        """Blocking: enqueue one image, receive its full-resolution mask."""
+        done = threading.Event()
+        slot: dict = {}
+        self._queue.put((img, slot, done))
+        if not done.wait(timeout):
+            raise TimeoutError("prediction timed out")
+        if "error" in slot:
+            raise RuntimeError(slot["error"])
+        return slot["mask"]
+
+    # -- server side ------------------------------------------------------
+    def _loop(self):
+        while not self._stop.is_set():
+            try:
+                first = self._queue.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            batch = [first]
+            deadline = time.monotonic() + self.batch_window
+            while len(batch) < self.max_batch:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                try:
+                    batch.append(self._queue.get(timeout=remaining))
+                except queue.Empty:
+                    break
+            self._run_batch(batch)
+
+    def _run_batch(self, batch):
+        try:
+            pre = [
+                BasicDataset.preprocess(None, img, self.scale, is_mask=False)
+                for img, _, _ in batch
+            ]
+            h = max(p.shape[0] for p in pre)
+            w = max(p.shape[1] for p in pre)
+            # Pad to the max (and to the fixed max_batch) → one compiled shape
+            # per (h, w); mixed sizes share a batch via zero padding.
+            x = np.zeros((self.max_batch, h, w, pre[0].shape[-1]), np.float32)
+            for k, p in enumerate(pre):
+                x[k, : p.shape[0], : p.shape[1]] = p
+            logits = self._fwd(jnp.asarray(x))
+            for k, (img, slot, done) in enumerate(batch):
+                ph, pw = pre[k].shape[:2]
+                full_w, full_h = img.size
+                lg = resize_bilinear(
+                    logits[k : k + 1, :ph, :pw], full_h, full_w, align_corners=False
+                )
+                if self.config.n_classes > 1:
+                    mask = np.asarray(jnp.argmax(lg, axis=-1)[0])
+                else:
+                    mask = np.asarray(jax.nn.sigmoid(lg[0, ..., 0]) > self.threshold)
+                slot["mask"] = mask
+                done.set()
+        except Exception as e:  # propagate to every waiter in the batch
+            logger.exception("batch failed")
+            for _, slot, done in batch:
+                slot["error"] = str(e)
+                done.set()
+
+    def stop(self):
+        self._stop.set()
+        self._worker.join(timeout=2)
+
+
+def make_handler(predictor: BatchedPredictor):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):
+            logger.debug(fmt, *args)
+
+        def do_GET(self):
+            if self.path != "/healthz":
+                self.send_error(404)
+                return
+            body = json.dumps({
+                "status": "ok",
+                "n_classes": predictor.config.n_classes,
+                "arch": predictor.config.arch,
+                "scale": predictor.scale,
+            }).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_POST(self):
+            if self.path != "/predict":
+                self.send_error(404)
+                return
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                img = Image.open(io.BytesIO(self.rfile.read(length)))
+                mask = predictor.predict_one(img)
+                out = io.BytesIO()
+                mask_to_image(mask, predictor.mask_values).save(out, format="PNG")
+                data = out.getvalue()
+                self.send_response(200)
+                self.send_header("Content-Type", "image/png")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+            except Exception as e:
+                self.send_error(500, str(e)[:200])
+
+    return Handler
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="tpu-unet batched inference server")
+    p.add_argument("--model", "-m", required=True)
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--scale", "-s", type=float, default=0.5)
+    p.add_argument("--mask-threshold", "-t", type=float, default=0.5)
+    p.add_argument("--classes", "-c", type=int, default=1)
+    p.add_argument("--bilinear", action="store_true")
+    p.add_argument("--arch", choices=["unet", "unetpp"], default="unet")
+    p.add_argument("--amp", action="store_true", default=True)
+    p.add_argument("--max-batch", type=int, default=8)
+    p.add_argument("--batch-window-ms", type=float, default=5.0)
+    p.add_argument("--kernels", choices=["xla", "pallas"], default=None)
+    args = p.parse_args(argv)
+    logging.basicConfig(level=logging.INFO, format="%(levelname)s: %(message)s")
+
+    config = UNetConfig(3, args.classes, bilinear=args.bilinear, arch=args.arch)
+    params, state = init_unet(jax.random.PRNGKey(0), config)
+    if str(args.model).endswith(".pth"):
+        from tpu_unet.checkpoint import import_pth
+
+        params, state, mask_values = import_pth(args.model, config)
+    else:
+        from tpu_unet.checkpoint import load_checkpoint
+
+        params, state, mask_values, _ = load_checkpoint(args.model, params, state)
+
+    predictor = BatchedPredictor(
+        params, state, config, mask_values,
+        scale=args.scale, threshold=args.mask_threshold, amp=args.amp,
+        max_batch=args.max_batch, batch_window_ms=args.batch_window_ms,
+        kernels=args.kernels,
+    )
+    server = ThreadingHTTPServer((args.host, args.port), make_handler(predictor))
+    logger.info("Serving on %s:%d (max_batch=%d)", args.host, args.port, args.max_batch)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        predictor.stop()
+
+
+if __name__ == "__main__":
+    main()
