@@ -63,3 +63,48 @@ def evaluate(params, state, dataloader, config: UNetConfig, amp: bool = False):
         n += 1
     n = max(n, 1)
     return total_dice / n, total_iou / n
+
+
+def main(argv=None):
+    """Standalone evaluation CLI (additive; the reference only calls
+    evaluate() from its training loop)."""
+    import argparse
+    import logging
+    from pathlib import Path
+
+    from tpu_unet.checkpoint import import_pth, load_checkpoint
+    from tpu_unet.data import BasicDataset, CarvanaDataset, DataLoader
+    from tpu_unet.models import init_unet
+
+    p = argparse.ArgumentParser(description="Evaluate a checkpoint on a dataset")
+    p.add_argument("--model", "-m", required=True)
+    p.add_argument("--data-dir", type=str, default="./data")
+    p.add_argument("--scale", "-s", type=float, default=0.5)
+    p.add_argument("--batch-size", "-b", type=int, default=4)
+    p.add_argument("--classes", "-c", type=int, default=1)
+    p.add_argument("--bilinear", action="store_true")
+    p.add_argument("--arch", choices=["unet", "unetpp"], default="unet")
+    p.add_argument("--amp", action="store_true")
+    args = p.parse_args(argv)
+    logging.basicConfig(level=logging.INFO, format="%(levelname)s: %(message)s")
+
+    config = UNetConfig(3, args.classes, bilinear=args.bilinear, arch=args.arch)
+    params, state = init_unet(jax.random.PRNGKey(0), config)
+    if str(args.model).endswith(".pth"):
+        params, state, _ = import_pth(args.model, config)
+    else:
+        params, state, _, _ = load_checkpoint(args.model, params, state)
+
+    data_dir = Path(args.data_dir)
+    try:
+        ds = CarvanaDataset(data_dir / "imgs", data_dir / "masks", args.scale)
+    except (AssertionError, RuntimeError, IndexError):
+        ds = BasicDataset(data_dir / "imgs", data_dir / "masks", args.scale)
+    loader = DataLoader(ds, args.batch_size)
+    dice, iou = evaluate(params, state, loader, config, amp=args.amp)
+    print(f"Dice: {dice:.6f}  IoU: {iou:.6f}  (n={len(ds)})")
+    return dice
+
+
+if __name__ == "__main__":
+    main()

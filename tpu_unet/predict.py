@@ -58,8 +58,13 @@ def predict_img(
     scale_factor: float = 0.5,
     out_threshold: float = 0.5,
     amp: bool = False,
+    use_crf: bool = False,
 ) -> np.ndarray:
-    """Predict a mask for one PIL image at its ORIGINAL resolution."""
+    """Predict a mask for one PIL image at its ORIGINAL resolution.
+
+    use_crf applies mean-field CRF refinement to the probabilities before
+    thresholding (legacy-reference utils/crf.py capability, SURVEY.md §A.1).
+    """
     img = BasicDataset.preprocess(None, full_img, scale_factor, is_mask=False)
     x = jnp.asarray(img)[None]  # [1,H,W,C]
     full_w, full_h = full_img.size
@@ -67,10 +72,24 @@ def predict_img(
         params, state, x, config=config, full_h=full_h, full_w=full_w, amp=amp
     )
     if config.n_classes > 1:
-        mask = jnp.argmax(logits, axis=-1)[0]
-        return np.asarray(mask)
+        if use_crf:
+            from tpu_unet.postprocess import crf_refine
+
+            rgb = jnp.asarray(
+                BasicDataset.preprocess(None, full_img, 1.0, is_mask=False)
+            )[None]
+            probs = crf_refine(rgb, jax.nn.softmax(logits, axis=-1))
+            return np.asarray(jnp.argmax(probs, axis=-1)[0])
+        return np.asarray(jnp.argmax(logits, axis=-1)[0])
     else:
         probs = jax.nn.sigmoid(logits[0, ..., 0])
+        if use_crf:
+            from tpu_unet.postprocess import crf_refine_binary
+
+            rgb = jnp.asarray(
+                BasicDataset.preprocess(None, full_img, 1.0, is_mask=False)
+            )[None]
+            probs = crf_refine_binary(rgb, probs[None])[0]
         return np.asarray(probs > out_threshold)
 
 
@@ -141,6 +160,9 @@ def get_args(argv=None):
                         help="Tiled sliding-window inference with this tile size (large images)")
     parser.add_argument("--arch", choices=["unet", "unetpp"], default="unet",
                         help="Model family the checkpoint was trained with")
+    parser.add_argument("--crf", action="store_true", default=False,
+                        help="Mean-field CRF refinement of the probabilities "
+                             "(legacy-reference utils/crf.py capability)")
     parser.add_argument("--kernels", choices=["xla", "pallas"], default=None,
                         help="Fold BN and run the fused inference path with this backend "
                              "(default: the reference-parity train-graph forward)")
@@ -193,7 +215,8 @@ def main(argv=None):
         else:
             mask = predict_img(
                 params, state, config, img,
-                scale_factor=args.scale, out_threshold=args.mask_threshold, amp=args.amp,
+                scale_factor=args.scale, out_threshold=args.mask_threshold,
+                amp=args.amp, use_crf=args.crf,
             )
 
         if not args.no_save:
