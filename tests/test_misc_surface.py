@@ -1,0 +1,68 @@
+"""Coverage for the remaining small surfaces: load_image dispatch, the
+Carvana→Basic dataset fallback, and the hub entry point."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import jax
+
+from tpu_unet.data import BasicDataset, CarvanaDataset, load_image
+from tpu_unet.hub import unet_carvana
+
+
+def test_load_image_dispatch(tmp_path):
+    arr = np.random.default_rng(0).integers(0, 255, (8, 6), dtype=np.uint8).astype(np.uint8)
+    np.save(tmp_path / "a.npy", arr)
+    assert np.array_equal(np.asarray(load_image(tmp_path / "a.npy")), arr)
+
+    import torch
+
+    torch.save(torch.from_numpy(arr), tmp_path / "b.pt")
+    assert np.array_equal(np.asarray(load_image(tmp_path / "b.pt")), arr)
+
+    Image.fromarray(arr).save(tmp_path / "c.png")
+    assert np.array_equal(np.asarray(load_image(tmp_path / "c.png")), arr)
+
+
+def test_carvana_fallback_to_basic(tmp_path):
+    """Masks without the _mask suffix → CarvanaDataset fails, BasicDataset
+    works (the reference's except-fallback in train.py, SURVEY.md §3.1)."""
+    img_dir, mask_dir = tmp_path / "imgs", tmp_path / "masks"
+    img_dir.mkdir(), mask_dir.mkdir()
+    arr = np.zeros((8, 8, 3), np.uint8)
+    Image.fromarray(arr).save(img_dir / "x.png")
+    Image.fromarray(np.zeros((8, 8), np.uint8)).save(mask_dir / "x.png")  # no _mask
+
+    with pytest.raises((AssertionError, RuntimeError, IndexError)):
+        CarvanaDataset(img_dir, mask_dir, num_workers=0)
+    ds = BasicDataset(img_dir, mask_dir, num_workers=0)
+    assert len(ds) == 1 and ds[0]["mask"].shape == (8, 8)
+
+
+def test_hub_unet_carvana_fresh():
+    params, state, config, mv = unet_carvana(pretrained=False)
+    assert config.n_classes == 2 and not config.bilinear
+    assert mv is None
+    n = sum(p.size for p in jax.tree.leaves(params))
+    assert abs(n / 1e6 - 31.0) < 0.5
+
+
+def test_hub_pretrained_requires_weights(monkeypatch):
+    monkeypatch.delenv("TPU_UNET_WEIGHTS", raising=False)
+    with pytest.raises(RuntimeError, match="weights"):
+        unet_carvana(pretrained=True)
+
+
+def test_hub_pretrained_from_npz(tmp_path):
+    from tpu_unet.checkpoint import save_checkpoint
+    from tpu_unet.models import UNetConfig, init_unet
+
+    config = UNetConfig(3, 2, bilinear=False)
+    params, state = init_unet(jax.random.PRNGKey(1), config)
+    save_checkpoint(tmp_path / "w.npz", params, state, mask_values=[0, 255])
+    p2, s2, cfg, mv = unet_carvana(pretrained=True, weights_path=str(tmp_path / "w.npz"))
+    assert mv == [0, 255]
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(p2)[0]), np.asarray(jax.tree.leaves(params)[0])
+    )
