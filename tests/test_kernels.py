@@ -101,6 +101,23 @@ def test_fused_double_conv_matches_chained(rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-3, rtol=1e-3)
 
 
+def test_fused_concat_conv_matches_concat_path(rng):
+    from tpu_unet.kernels.fused_conv import fused_conv3x3_concat_scale_relu
+
+    a = jnp.asarray(rng.standard_normal((1, 12, 20, 8), dtype=np.float32))
+    b = jnp.asarray(rng.standard_normal((1, 12, 20, 16), dtype=np.float32))
+    w = jnp.asarray(rng.standard_normal((3, 3, 24, 16), dtype=np.float32) * 0.2)
+    s = jnp.asarray(rng.standard_normal(16, dtype=np.float32))
+    bias = jnp.asarray(rng.standard_normal(16, dtype=np.float32))
+
+    ref = jax.nn.relu(
+        conv2d(jnp.concatenate([a, b], -1), w, stride=1, padding=1) * s + bias
+    )
+    with pltpu.force_tpu_interpret_mode():
+        out = fused_conv3x3_concat_scale_relu(a, b, w, s, bias)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-3, rtol=1e-3)
+
+
 def test_folded_pallas_inference_matches_xla():
     config = UNetConfig(3, 2, bilinear=True, base_channels=8)
     params, state = init_unet(jax.random.PRNGKey(0), config)

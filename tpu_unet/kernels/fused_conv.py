@@ -146,6 +146,126 @@ def fused_conv3x3_scale_relu(
     return out[:, :h]
 
 
-def _squeeze_slab_kernel(xa_ref, xb_ref, w_ref, sb_ref, o_ref, *, th, apply_relu):
-    # Variant used when a single slab pair covers the whole (small) image.
-    _conv_kernel(xa_ref, xb_ref, w_ref, sb_ref, o_ref, th=th, apply_relu=apply_relu)
+def _dual_conv_kernel(
+    aa_ref, ab_ref, ba_ref, bb_ref, wa_ref, wb_ref, sb_ref, o_ref,
+    acc_ref, xa_ref, xb_ref, *, th, apply_relu,
+):
+    # Two sources (a: skip, b: upsampled), each as a consecutive slab pair;
+    # wa: [3,3,Ca,COb], wb: [3,3,Cb,COb]. Computes
+    # relu((conv(a, wa) + conv(b, wb))·s + bias) ≡ the decoder's
+    # conv3×3(concat([a, b]))·BN·ReLU WITHOUT materializing the concat.
+    w_out = o_ref.shape[2]
+    ca = aa_ref.shape[-1]
+    cb = ba_ref.shape[-1]
+
+    xa_ref[:th] = aa_ref[0]
+    xa_ref[th:] = ab_ref[0, :2]
+    xb_ref[:th] = ba_ref[0]
+    xb_ref[th:] = bb_ref[0, :2]
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    def tap_row(dy, _):
+        for dx in range(3):
+            pa = xa_ref[pl.ds(dy, th), dx : dx + w_out, :]
+            acc_ref[...] += jnp.dot(
+                pa.reshape(th * w_out, ca), wa_ref[dy, dx],
+                preferred_element_type=jnp.float32,
+            )
+            pb = xb_ref[pl.ds(dy, th), dx : dx + w_out, :]
+            acc_ref[...] += jnp.dot(
+                pb.reshape(th * w_out, cb), wb_ref[dy, dx],
+                preferred_element_type=jnp.float32,
+            )
+        return 0
+
+    jax.lax.fori_loop(0, 3, tap_row, 0)
+    y = acc_ref[...] * sb_ref[0][None, :] + sb_ref[1][None, :]
+    if apply_relu:
+        y = jnp.maximum(y, 0.0)
+    o_ref[0] = y.reshape(th, w_out, o_ref.shape[-1]).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("apply_relu", "tile_h", "cout_block", "out_dtype")
+)
+def fused_conv3x3_concat_scale_relu(
+    a: jax.Array,
+    b: jax.Array,
+    w: jax.Array,
+    scale: jax.Array,
+    bias: jax.Array,
+    *,
+    apply_relu: bool = True,
+    tile_h: int = 8,
+    cout_block: int | None = None,
+    out_dtype=None,
+) -> jax.Array:
+    """relu(conv3x3_same(concat([a, b], -1), w)·scale + bias), concat-free.
+
+    a: [N,H,W,Ca] (skip), b: [N,H,W,Cb] (upsampled); w: [3,3,Ca+Cb,Cout]
+    split into the two per-source kernels. The decoder's skip-concatenation
+    fused away (north-star: "upsampling with skip-concatenation become
+    fused NHWC Pallas kernels").
+    """
+    n, h, w_in, ca = a.shape
+    cb = b.shape[-1]
+    assert w.shape[2] == ca + cb, (w.shape, ca, cb)
+    cout = w.shape[-1]
+    out_dtype = out_dtype or a.dtype
+
+    th = min(tile_h, h)
+    ht = -(-h // th)
+    cin_max = max(ca, cb)
+    default_cob = 128 if cin_max >= 512 else 256
+    cob = cout_block or min(cout, default_cob)
+    if cout % cob:
+        raise ValueError(f"cout {cout} not divisible by cout_block {cob}")
+    ct = cout // cob
+
+    pad_h_total = (ht + 1) * th
+    ap = jnp.pad(a, ((0, 0), (1, pad_h_total - h - 1), (1, 1), (0, 0)))
+    bp = jnp.pad(b, ((0, 0), (1, pad_h_total - h - 1), (1, 1), (0, 0)))
+    wp = w_in + 2
+    wa, wb = w[:, :, :ca, :], w[:, :, ca:, :]
+    sb = jnp.stack([scale.astype(jnp.float32), bias.astype(jnp.float32)])
+
+    def slab(src_c, di):
+        return pl.BlockSpec(
+            (1, th, wp, src_c),
+            lambda bidx, i, c, di=di: (bidx, i + di, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    out = pl.pallas_call(
+        functools.partial(_dual_conv_kernel, th=th, apply_relu=apply_relu),
+        grid=(n, ht, ct),
+        in_specs=[
+            slab(ca, 0), slab(ca, 1), slab(cb, 0), slab(cb, 1),
+            pl.BlockSpec((3, 3, ca, cob), lambda bi, i, c: (0, 0, 0, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, 3, cb, cob), lambda bi, i, c: (0, 0, 0, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, cob), lambda bi, i, c: (0, c),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, th, w_in, cob), lambda bi, i, c: (bi, i, 0, c),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, ht * th, w_in, cout), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((th * w_in, cob), jnp.float32),
+            pltpu.VMEM((th + 2, wp, ca), ap.dtype),
+            pltpu.VMEM((th + 2, wp, cb), bp.dtype),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 9 * n * ht * th * w_in * (ca + cb) * cout,
+            bytes_accessed=(
+                (ap.size + bp.size) * ap.dtype.itemsize * 2
+                + w.size * w.dtype.itemsize
+                + n * h * w_in * cout * jnp.dtype(out_dtype).itemsize
+            ),
+            transcendentals=0,
+        ),
+    )(ap, ap, bp, bp, wa, wb, sb)
+    return out[:, :h]

@@ -123,7 +123,18 @@ def unet_infer_apply(
             up = conv_transpose2d(h, blk["up"]["w"], stride=2)
             up = (up + blk["up"]["b"].astype(jnp.float32)).astype(h.dtype)
         up = pad_to_match(up, skip)
-        h = dc(jnp.concatenate([skip, up], axis=-1), blk["conv"])
+        if backend == "pallas":
+            # Fused skip-concatenation: the decoder's first conv reads both
+            # sources directly — the concat tensor never exists in HBM.
+            from tpu_unet.kernels.fused_conv import fused_conv3x3_concat_scale_relu
+
+            c1 = blk["conv"]["conv1"]
+            h = fused_conv3x3_concat_scale_relu(
+                skip, up, c1["w"], c1["scale"], c1["bias"]
+            )
+            h = _fused_conv(h, blk["conv"]["conv2"], backend=backend)
+        else:
+            h = dc(jnp.concatenate([skip, up], axis=-1), blk["conv"])
 
     logits = conv2d(h, folded["outc"]["w"], stride=1, padding=0)
     return (logits + folded["outc"]["b"].astype(jnp.float32)).astype(jnp.float32)
