@@ -196,7 +196,9 @@ def fused_conv3x3_concat_scale_relu(
     bias: jax.Array,
     *,
     apply_relu: bool = True,
-    tile_h: int = 8,
+    # Two sources double the slab/window footprint; 8 rows overflowed the
+    # VMEM stack at fp32 full-res (18.0 MB measured) — 4 rows fits.
+    tile_h: int = 4,
     cout_block: int | None = None,
     out_dtype=None,
 ) -> jax.Array:
