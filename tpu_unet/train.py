@@ -30,7 +30,6 @@ import argparse
 import functools
 import logging
 import os
-import time
 from pathlib import Path
 
 import numpy as np
@@ -194,6 +193,11 @@ def train_model(
         start_epoch = int(extra.get("epoch", 0)) + 1
         scheduler.lr = float(extra.get("lr", learning_rate))
         logger.info("Resumed from %s at epoch %d (lr %g)", resume, start_epoch, scheduler.lr)
+        if sharding is not None:
+            # Re-replicate: the load placed the restored trees on one device.
+            rep = replicated(sharding.mesh)
+            params = jax.device_put(params, rep)
+            bn_state = jax.device_put(bn_state, rep)
     if sharding is not None:
         opt_state = jax.device_put(opt_state, replicated(sharding.mesh))
     train_step = make_train_step(
