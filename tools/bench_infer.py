@@ -37,10 +37,12 @@ def main():
 
     for batch in (1, 8):
         x = jnp.asarray(rng.random((batch, H, W, 3), dtype=np.float32))
+        unfolded = jax.jit(
+            lambda x: unet_apply(params, state, x, config=CONFIG, train=False,
+                                 compute_dtype=jnp.bfloat16)[0]
+        )
         variants = {
-            "train-graph fwd (unfolded BN)": lambda x: unet_apply(
-                params, state, x, config=CONFIG, train=False,
-                compute_dtype=jnp.bfloat16)[0],
+            "train-graph fwd (unfolded BN)": unfolded,
             "folded xla": lambda x: unet_infer_apply(
                 folded, x, config=CONFIG, backend="xla",
                 compute_dtype=jnp.bfloat16),
