@@ -58,6 +58,24 @@ def test_predict_img_tiled_uses_tiler(net, tmp_path):
     assert (tiled != full).mean() < 1e-3
 
 
+def test_predict_img_halo_sharded(net):
+    """--tile-sharded surface: sharded mask ≡ solo mask; small images fall
+    back gracefully."""
+    from PIL import Image
+
+    from tpu_unet.predict import predict_img, predict_img_halo_sharded
+
+    params, state = net
+    rng = np.random.default_rng(9)
+    big = Image.fromarray(rng.integers(0, 255, (2048, 64, 3), dtype=np.uint8).astype(np.uint8))
+    m_sharded = predict_img_halo_sharded(params, state, CONFIG, big, scale_factor=1.0)
+    m_solo = predict_img(params, state, CONFIG, big, scale_factor=1.0)
+    assert (m_sharded == m_solo).mean() > 0.999
+
+    small = Image.fromarray(rng.integers(0, 255, (48, 64, 3), dtype=np.uint8).astype(np.uint8))
+    assert predict_img_halo_sharded(params, state, CONFIG, small, scale_factor=1.0).shape == (48, 64)
+
+
 def test_halo_sharded_equals_full(net):
     """8 bands over the virtual mesh, ppermute halo exchange, stitched output."""
     params, state = net

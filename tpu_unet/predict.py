@@ -121,6 +121,46 @@ def predict_img_fused(
     return np.asarray(jax.nn.sigmoid(logits[0, ..., 0]) > out_threshold)
 
 
+def predict_img_halo_sharded(
+    params,
+    state,
+    config: UNetConfig,
+    full_img: Image.Image,
+    *,
+    scale_factor: float = 0.5,
+    out_threshold: float = 0.5,
+    amp: bool = False,
+) -> np.ndarray:
+    """predict_img with the image sharded in horizontal bands across ALL
+    devices, halos exchanged over ICI (parallel/tiling.py). Falls back to the
+    single-device forward when constraints don't hold (one device, unaligned
+    size, or bands too short for the halo)."""
+    from tpu_unet.parallel.mesh import make_mesh
+    from tpu_unet.parallel.tiling import DEFAULT_HALO, make_halo_sharded_forward
+
+    img = BasicDataset.preprocess(None, full_img, scale_factor, is_mask=False)
+    x = jnp.asarray(img)[None]
+    h, w = x.shape[1], x.shape[2]
+    d = jax.device_count()
+    band = h // d if d else 0
+    full_w, full_h = full_img.size
+    if d < 2 or h % (16 * d) or w % 16 or band < 2 * DEFAULT_HALO:
+        logger.warning(
+            "halo-sharded constraints not met (devices=%d, H=%d, W=%d) — "
+            "falling back to single-device forward", d, h, w,
+        )
+        logits = _forward_full(
+            params, state, x, config=config, full_h=full_h, full_w=full_w, amp=amp
+        )
+    else:
+        mesh = make_mesh(axis="spatial")
+        fwd = make_halo_sharded_forward(mesh, config, halo=DEFAULT_HALO, amp=amp)
+        logits = resize_bilinear(fwd(params, state, x), full_h, full_w, align_corners=False)
+    if config.n_classes > 1:
+        return np.asarray(jnp.argmax(logits, axis=-1)[0])
+    return np.asarray(jax.nn.sigmoid(logits[0, ..., 0]) > out_threshold)
+
+
 def mask_to_image(mask: np.ndarray, mask_values) -> Image.Image:
     """Map class indices back through the stored palette (reference parity)."""
     if isinstance(mask_values[0], list):
@@ -158,6 +198,9 @@ def get_args(argv=None):
     parser.add_argument("--amp", action="store_true", default=False, help="bf16 inference")
     parser.add_argument("--tile", type=int, default=None,
                         help="Tiled sliding-window inference with this tile size (large images)")
+    parser.add_argument("--tile-sharded", action="store_true", default=False,
+                        help="Shard image bands across all devices with ICI halo "
+                             "exchange (large images, multi-chip)")
     parser.add_argument("--arch", choices=["unet", "unetpp"], default="unet",
                         help="Model family the checkpoint was trained with")
     parser.add_argument("--crf", action="store_true", default=False,
@@ -199,7 +242,12 @@ def main(argv=None):
         logger.info("Predicting image %s ...", filename)
         img = Image.open(filename)
 
-        if args.tile:
+        if args.tile_sharded:
+            mask = predict_img_halo_sharded(
+                params, state, config, img,
+                scale_factor=args.scale, out_threshold=args.mask_threshold, amp=args.amp,
+            )
+        elif args.tile:
             from tpu_unet.parallel.tiling import predict_img_tiled
 
             mask = predict_img_tiled(
