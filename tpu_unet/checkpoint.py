@@ -110,6 +110,14 @@ def load_checkpoint(
     return params, state, meta.get("mask_values"), extra
 
 
+def read_checkpoint_meta(path: str | Path) -> tuple[list | None, dict]:
+    """Peek (mask_values, extra) without loading arrays — lets loaders build
+    the right parameter template from extra['config'] before restoring."""
+    with np.load(Path(path), allow_pickle=False) as z:
+        meta = json.loads(bytes(z["__meta__"].tolist()).decode("utf-8"))
+    return meta.get("mask_values"), meta.get("extra", {})
+
+
 class AsyncCheckpointer:
     """Overlap checkpoint writes with training.
 

@@ -228,11 +228,19 @@ def main(argv=None):
     config = UNetConfig(
         n_channels=3, n_classes=args.classes, bilinear=args.bilinear, arch=args.arch
     )
-    params, state = init_unet(jax.random.PRNGKey(0), config)
     logger.info("Loading model %s", args.model)
     if str(args.model).endswith(".pth"):
         params, state, mask_values = import_pth(args.model, config)
     else:
+        from tpu_unet.checkpoint import read_checkpoint_meta
+
+        _, extra = read_checkpoint_meta(args.model)
+        if "config" in extra:
+            # Self-describing checkpoint: its stored config wins over the
+            # CLI defaults (so e.g. a --deep-supervision UNet++ checkpoint
+            # loads without re-specifying every flag).
+            config = UNetConfig(**extra["config"])
+        params, state = init_unet(jax.random.PRNGKey(0), config)
         params, state, mask_values, _ = load_checkpoint(args.model, params, state)
     if mask_values is None:
         mask_values = [0, 1] if args.classes == 1 else list(range(args.classes))

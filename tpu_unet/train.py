@@ -291,7 +291,9 @@ def train_model(
                 checkpoint_dir / f"checkpoint_epoch{epoch}.npz",
                 params, bn_state,
                 mask_values=getattr(dataset, "mask_values", None),
-                extra={"epoch": epoch, "lr": scheduler.lr},
+                # Self-describing checkpoints: loaders rebuild the exact
+                # model config (arch, classes, deep supervision, ...).
+                extra={"epoch": epoch, "lr": scheduler.lr, "config": config._asdict()},
                 opt_state=opt_state if save_optimizer else None,
             )
             logger.info("Checkpoint %d saved!", epoch)
