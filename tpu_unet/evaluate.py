@@ -89,10 +89,16 @@ def main(argv=None):
     logging.basicConfig(level=logging.INFO, format="%(levelname)s: %(message)s")
 
     config = UNetConfig(3, args.classes, bilinear=args.bilinear, arch=args.arch)
-    params, state = init_unet(jax.random.PRNGKey(0), config)
     if str(args.model).endswith(".pth"):
+        params, state = init_unet(jax.random.PRNGKey(0), config)
         params, state, _ = import_pth(args.model, config)
     else:
+        from tpu_unet.checkpoint import read_checkpoint_meta
+
+        _, extra = read_checkpoint_meta(args.model)
+        if "config" in extra:
+            config = UNetConfig(**extra["config"])
+        params, state = init_unet(jax.random.PRNGKey(0), config)
         params, state, _, _ = load_checkpoint(args.model, params, state)
 
     data_dir = Path(args.data_dir)

@@ -221,14 +221,18 @@ def main(argv=None):
     logging.basicConfig(level=logging.INFO, format="%(levelname)s: %(message)s")
 
     config = UNetConfig(3, args.classes, bilinear=args.bilinear, arch=args.arch)
-    params, state = init_unet(jax.random.PRNGKey(0), config)
     if str(args.model).endswith(".pth"):
         from tpu_unet.checkpoint import import_pth
 
+        params, state = init_unet(jax.random.PRNGKey(0), config)
         params, state, mask_values = import_pth(args.model, config)
     else:
-        from tpu_unet.checkpoint import load_checkpoint
+        from tpu_unet.checkpoint import load_checkpoint, read_checkpoint_meta
 
+        _, extra = read_checkpoint_meta(args.model)
+        if "config" in extra:
+            config = UNetConfig(**extra["config"])  # self-describing checkpoint
+        params, state = init_unet(jax.random.PRNGKey(0), config)
         params, state, mask_values, _ = load_checkpoint(args.model, params, state)
 
     predictor = BatchedPredictor(
