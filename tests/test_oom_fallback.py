@@ -1,0 +1,49 @@
+"""The reference's OOM fallback (catch OOM → enable checkpointing → retry
+once; SURVEY.md §2 #15) — exercised by injecting RESOURCE_EXHAUSTED into the
+first train attempt through the real CLI main()."""
+
+import numpy as np
+
+from tpu_unet.data import make_synthetic_carvana
+import tpu_unet.train as train_mod
+
+
+def test_oom_triggers_remat_retry(tmp_path, monkeypatch):
+    make_synthetic_carvana(tmp_path / "d", n=4, h=32, w=32)
+
+    calls = []
+    real_train_model = train_mod.train_model
+
+    def flaky_train_model(*args, **kwargs):
+        calls.append(kwargs.get("remat"))
+        if len(calls) == 1:
+            assert kwargs.get("remat") is False
+            raise RuntimeError("RESOURCE_EXHAUSTED: Out of memory in HBM")
+        assert kwargs.get("remat") is True  # retry must enable remat
+        return real_train_model(*args, **kwargs)
+
+    monkeypatch.setattr(train_mod, "train_model", flaky_train_model)
+    train_mod.main([
+        "-e", "1", "-b", "2", "-l", "1e-3", "-s", "1.0",
+        "--data-dir", str(tmp_path / "d"),
+        "--checkpoint-dir", str(tmp_path / "ck"),
+    ])
+    assert calls == [False, True]
+    assert (tmp_path / "ck" / "checkpoint_epoch1.npz").exists()
+
+
+def test_non_oom_errors_propagate(tmp_path, monkeypatch):
+    import pytest
+
+    make_synthetic_carvana(tmp_path / "d", n=4, h=32, w=32)
+
+    def broken_train_model(*args, **kwargs):
+        raise ValueError("unrelated failure")
+
+    monkeypatch.setattr(train_mod, "train_model", broken_train_model)
+    with pytest.raises(ValueError, match="unrelated failure"):
+        train_mod.main([
+            "-e", "1", "-s", "1.0",
+            "--data-dir", str(tmp_path / "d"),
+            "--checkpoint-dir", str(tmp_path / "ck"),
+        ])
