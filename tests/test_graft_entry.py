@@ -22,3 +22,46 @@ def test_dryrun_multichip_one():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(1)
+
+
+def test_dryrun_multichip_self_provisions_like_the_driver():
+    """Reproduce the driver's exact condition: a fresh process whose JAX sees
+    FEWER devices than requested (the real run sees the 1 axon chip; here we
+    pin a 1-device CPU platform — conftest env must not leak the 8-device
+    mesh in). dryrun_multichip(8) must re-exec itself onto a virtual 8-device
+    CPU mesh and succeed, NOT assert (VERDICT r1 weak #1)."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    flags = [
+        f
+        for f in env.get("XLA_FLAGS", "").split()
+        if "xla_force_host_platform_device_count" not in f
+    ]
+    flags.append("--xla_force_host_platform_device_count=1")
+    env["XLA_FLAGS"] = " ".join(flags)
+    env["JAX_PLATFORMS"] = "cpu"
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    code = (
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "assert len(jax.devices()) == 1, jax.devices()\n"
+        "import __graft_entry__ as g\n"
+        "g.dryrun_multichip(8)\n"
+        "print('driver-style dryrun ok')\n"
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", code],
+        cwd=repo_root,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=1200,
+    )
+    assert proc.returncode == 0, (
+        f"stdout:\n{proc.stdout[-2000:]}\nstderr:\n{proc.stderr[-4000:]}"
+    )
+    assert "driver-style dryrun ok" in proc.stdout
