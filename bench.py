@@ -9,8 +9,9 @@ publishes no throughput numbers, so we measured config #1 of BASELINE.json
 ourselves; 1-vCPU container, see the note there).
 
 Config: the Carvana flagship (UNet 3→1, ConvTranspose decoder, 31M params),
-bf16 AMP (the production TPU precision; the reference's --amp analog),
-batch autotuned over powers of two for best throughput on the chip.
+bf16 AMP (the production TPU precision; the reference's --amp analog).
+Batch: the largest of (16, 8, 4) that fits — 16 on v5e — measured once;
+no wider sweep, to keep one ~10-min compile per bench run.
 """
 
 from __future__ import annotations

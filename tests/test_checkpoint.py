@@ -53,3 +53,19 @@ def test_pth_import_convtranspose(tmp_path):
 
 def test_pth_import_bilinear(tmp_path):
     _check_pth_import(tmp_path, bilinear=True)
+
+
+def test_save_path_without_npz_suffix(tmp_path):
+    """save(path)/load(path) must round-trip even without a .npz suffix
+    (bare np.savez silently appends one, ADVICE r1)."""
+    from tpu_unet.checkpoint import load_checkpoint, save_checkpoint
+    from tpu_unet.models import UNetConfig, init_unet
+
+    config = UNetConfig(3, 1, bilinear=True, base_channels=8)
+    params, state = init_unet(jax.random.PRNGKey(0), config)
+    p = tmp_path / "ckpt"  # deliberately suffix-less
+    save_checkpoint(p, params, state, mask_values=[0, 1])
+    assert p.exists() and not (tmp_path / "ckpt.npz").exists()
+    p2, s2 = init_unet(jax.random.PRNGKey(1), config)
+    _, _, mv, _ = load_checkpoint(p, p2, s2)
+    assert mv == [0, 1]

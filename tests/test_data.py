@@ -105,3 +105,16 @@ def test_dataloader_batching(carvana_dir):
     # Shuffle must differ between epochs but be seed-reproducible.
     again = list(loader)
     assert len(again) == 2
+
+
+def test_collate_preserves_uint8():
+    """uint8 frames stay uint8 through collate so --device-preprocess ships
+    1 byte/px over H2D, not 4 (ADVICE r1); float inputs standardize to f32."""
+    import numpy as np
+
+    from tpu_unet.data.prefetch import collate
+
+    u8 = [{"image": np.zeros((4, 4, 3), np.uint8), "mask": np.zeros((4, 4), np.int64)}]
+    assert collate(u8)["image"].dtype == np.uint8
+    f64 = [{"image": np.zeros((4, 4, 3), np.float64), "mask": np.zeros((4, 4), np.int64)}]
+    assert collate(f64)["image"].dtype == np.float32

@@ -66,3 +66,18 @@ def test_hub_pretrained_from_npz(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(jax.tree.leaves(p2)[0]), np.asarray(jax.tree.leaves(params)[0])
     )
+
+
+def test_torch_hub_protocol_shim():
+    """torch.hub.load(<repo>, 'unet_carvana', source='local') resolves through
+    the root hubconf.py exactly like the upstream repo (SURVEY.md section 2 #20)."""
+    import os
+
+    import torch
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    params, state, config, mask_values = torch.hub.load(
+        repo_root, "unet_carvana", source="local", pretrained=False
+    )
+    assert config.n_classes == 2 and not config.bilinear
+    assert mask_values is None

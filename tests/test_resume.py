@@ -55,3 +55,36 @@ def test_resume_continues_epochs(tmp_path):
     # resumed epoch (epoch 1 is skipped).
     assert len(hist["train_loss"]) == 3
     assert (ck / "checkpoint_epoch2.npz").exists()
+
+
+def test_checkpoint_carries_scheduler_state(tmp_path):
+    """Checkpoints persist the FULL plateau state, not just the lr, so resume
+    keeps best/num_bad_epochs/cooldown progress (ADVICE r1)."""
+    make_synthetic_carvana(tmp_path / "d", n=6, h=32, w=32)
+    ds = CarvanaDataset(tmp_path / "d" / "imgs", tmp_path / "d" / "masks",
+                        scale=1.0, num_workers=0)
+    config = UNetConfig(3, 1, bilinear=True, base_channels=8)
+    params, state = init_unet(jax.random.PRNGKey(0), config)
+    ck = tmp_path / "ck"
+    train_model(params, state, config, dataset=ds, epochs=1, batch_size=2,
+                learning_rate=1e-3, val_percent=0.2, checkpoint_dir=ck, seed=0)
+
+    from tpu_unet.checkpoint import read_checkpoint_meta
+
+    _, extra = read_checkpoint_meta(ck / "checkpoint_epoch1.npz")
+    sd = extra["scheduler"]
+    assert set(sd) == {"lr", "best", "num_bad_epochs", "cooldown_counter"}
+
+
+def test_plateau_load_state_dict_resumes_progress():
+    """A restored scheduler must keep counting bad epochs where it left off."""
+    import pytest
+
+    from tpu_unet.optim import ReduceLROnPlateau
+
+    s1 = ReduceLROnPlateau(lr=1e-3, mode="max", patience=2)
+    for m in (0.5, 0.4, 0.4):
+        s1.step(m)  # best=0.5, then 2 bad epochs
+    s2 = ReduceLROnPlateau(lr=1e-3, mode="max", patience=2)
+    s2.load_state_dict(s1.state_dict())
+    assert s2.step(0.4) == pytest.approx(1e-4)  # 3rd bad epoch -> lr drop

@@ -73,7 +73,10 @@ def save_checkpoint(
     arrays["__meta__"] = np.frombuffer(
         json.dumps(meta).encode("utf-8"), dtype=np.uint8
     )
-    np.savez(path, **arrays)
+    # Write through an explicit file object: bare np.savez silently appends
+    # '.npz' to suffix-less paths, breaking save(path)/load(path) round-trips.
+    with open(path, "wb") as f:
+        np.savez(f, **arrays)
 
 
 def load_checkpoint(

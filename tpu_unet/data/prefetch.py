@@ -20,9 +20,17 @@ import jax
 
 
 def collate(samples: Sequence[dict]) -> dict[str, np.ndarray]:
-    """Stack sample dicts into batch arrays (images NHWC, masks NHW)."""
+    """Stack sample dicts into batch arrays (images NHWC, masks NHW).
+
+    Preserves uint8 images (the --device-preprocess path ships raw frames and
+    normalizes on device — upcasting here would 4x the H2D transfer bytes);
+    anything else is standardized to float32 for the host-preprocessed path.
+    """
+    imgs = np.stack([s["image"] for s in samples])
+    if imgs.dtype != np.uint8:
+        imgs = imgs.astype(np.float32)
     return {
-        "image": np.stack([s["image"] for s in samples]).astype(np.float32),
+        "image": imgs,
         "mask": np.stack([s["mask"] for s in samples]),
     }
 

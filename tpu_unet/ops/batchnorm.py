@@ -10,10 +10,12 @@ folds into the producing conv's epilogue. Statistics are always accumulated in
 float32 even under bf16 activations (AMP parity with torch autocast, which
 keeps BN in fp32).
 
-Design decision (SURVEY.md §7 stage 4): batch stats are PER-DEVICE under data
-parallelism — the reference is single-device so per-replica BN is the
-parity-consistent choice, and it avoids cross-replica collectives in the hot
-loop. ``axis_name`` opts into cross-replica (synced) stats when wanted.
+Design decision (SURVEY.md §7 stage 4): under the production GSPMD trainer
+(jit over a Mesh, batch sharded on 'data'), the stats reductions above are
+GLOBAL-batch — XLA inserts the cross-replica collectives automatically, so a
+DP run matches a single-device run bit-for-bit (tests/test_parallel.py).
+``axis_name`` exists only for explicit shard_map/pmap callers, where each
+replica traces on its local shard and synced stats must be requested by hand.
 """
 
 from __future__ import annotations
@@ -65,8 +67,13 @@ def batch_norm(
         var = jnp.mean(jnp.square(xf - mean), axis=(0, 1, 2))
         n = x.shape[0] * x.shape[1] * x.shape[2]
         if axis_name is not None:
+            # Global variance must be taken around the GLOBAL mean: with
+            # equal-size shards, var_g = E_r[var_r + (mean_r - mean_g)^2].
+            # pmean of the local variances alone understates it whenever the
+            # per-replica means differ.
+            mean_local = mean
             mean = jax.lax.pmean(mean, axis_name)
-            var = jax.lax.pmean(var, axis_name)
+            var = jax.lax.pmean(var + jnp.square(mean_local - mean), axis_name)
             n = n * jax.lax.psum(1, axis_name)
         # Unbiased variance for the running buffer (torch semantics).
         unbiased = var * (n / max(n - 1, 1))

@@ -4,8 +4,10 @@ The reference has no serving layer (its predict.py is a one-shot CLI,
 SURVEY.md §1); this is the deployment counterpart for the brief's
 "large-scale production deployment and serving": a small HTTP server holding
 the model resident on the TPU with a MICRO-BATCHING queue — concurrent
-requests arriving within ``batch_window_ms`` are padded into one fixed-shape
-batch so the jitted forward compiles once and the MXU sees full batches.
+requests arriving within ``batch_window_ms`` are grouped by preprocessed
+shape and batch-padded onto one fixed-shape canvas per (H, W), so the jitted
+forward compiles once per shape and the MXU sees full batches while every
+result stays bit-identical to a solo prediction.
 
 Endpoints:
   POST /predict   body: PNG/JPEG bytes → PNG mask (reference predict_img
@@ -58,6 +60,7 @@ class BatchedPredictor:
         max_batch: int = 8,
         batch_window_ms: float = 5.0,
         kernels: str | None = None,
+        timeout_s: float = 300.0,
     ):
         self.config = config
         self.mask_values = mask_values or ([0, 1] if config.n_classes == 1 else list(range(config.n_classes)))
@@ -66,6 +69,7 @@ class BatchedPredictor:
         self.amp = amp
         self.max_batch = max_batch
         self.batch_window = batch_window_ms / 1e3
+        self.timeout_s = timeout_s
         self._queue: queue.Queue = queue.Queue()
         self._stop = threading.Event()
 
@@ -93,12 +97,17 @@ class BatchedPredictor:
         self._worker.start()
 
     # -- client side ------------------------------------------------------
-    def predict_one(self, img: Image.Image, timeout: float = 60.0) -> np.ndarray:
-        """Blocking: enqueue one image, receive its full-resolution mask."""
+    def predict_one(self, img: Image.Image, timeout: float | None = None) -> np.ndarray:
+        """Blocking: enqueue one image, receive its full-resolution mask.
+
+        Default timeout comes from the server config — it must cover the
+        FIRST request's jit compile (minutes on a cold TPU), not just steady
+        state.
+        """
         done = threading.Event()
         slot: dict = {}
         self._queue.put((img, slot, done))
-        if not done.wait(timeout):
+        if not done.wait(self.timeout_s if timeout is None else timeout):
             raise TimeoutError("prediction timed out")
         if "error" in slot:
             raise RuntimeError(slot["error"])
@@ -129,26 +138,32 @@ class BatchedPredictor:
                 BasicDataset.preprocess(None, img, self.scale, is_mask=False)
                 for img, _, _ in batch
             ]
-            h = max(p.shape[0] for p in pre)
-            w = max(p.shape[1] for p in pre)
-            # Pad to the max (and to the fixed max_batch) → one compiled shape
-            # per (h, w); mixed sizes share a batch via zero padding.
-            x = np.zeros((self.max_batch, h, w, pre[0].shape[-1]), np.float32)
+            # Group by preprocessed (H, W): zero-padding a smaller image onto
+            # a larger canvas shifts its pool/upsample grid alignment, so its
+            # mask near the pad boundary would diverge from a solo prediction.
+            # One canvas per shape keeps every batched result identical to its
+            # solo run — padding the BATCH dim alone cannot leak across images
+            # (tests/test_serve.py::test_mixed_size_batch_matches_solo).
+            groups: dict[tuple, list[int]] = {}
             for k, p in enumerate(pre):
-                x[k, : p.shape[0], : p.shape[1]] = p
-            logits = self._fwd(jnp.asarray(x))
-            for k, (img, slot, done) in enumerate(batch):
-                ph, pw = pre[k].shape[:2]
-                full_w, full_h = img.size
-                lg = resize_bilinear(
-                    logits[k : k + 1, :ph, :pw], full_h, full_w, align_corners=False
-                )
-                if self.config.n_classes > 1:
-                    mask = np.asarray(jnp.argmax(lg, axis=-1)[0])
-                else:
-                    mask = np.asarray(jax.nn.sigmoid(lg[0, ..., 0]) > self.threshold)
-                slot["mask"] = mask
-                done.set()
+                groups.setdefault(p.shape[:2], []).append(k)
+            for (h, w), idxs in groups.items():
+                x = np.zeros((self.max_batch, h, w, pre[0].shape[-1]), np.float32)
+                for j, k in enumerate(idxs):
+                    x[j] = pre[k]
+                logits = self._fwd(jnp.asarray(x))
+                for j, k in enumerate(idxs):
+                    img, slot, done = batch[k]
+                    full_w, full_h = img.size
+                    lg = resize_bilinear(
+                        logits[j : j + 1], full_h, full_w, align_corners=False
+                    )
+                    if self.config.n_classes > 1:
+                        mask = np.asarray(jnp.argmax(lg, axis=-1)[0])
+                    else:
+                        mask = np.asarray(jax.nn.sigmoid(lg[0, ..., 0]) > self.threshold)
+                    slot["mask"] = mask
+                    done.set()
         except Exception as e:  # propagate to every waiter in the batch
             logger.exception("batch failed")
             for _, slot, done in batch:
@@ -213,10 +228,14 @@ def main(argv=None):
     p.add_argument("--classes", "-c", type=int, default=1)
     p.add_argument("--bilinear", action="store_true")
     p.add_argument("--arch", choices=["unet", "unetpp"], default="unet")
-    p.add_argument("--amp", action="store_true", default=True)
+    p.add_argument("--amp", action=argparse.BooleanOptionalAction, default=True,
+                   help="bf16 inference (default on; --no-amp for fp32)")
     p.add_argument("--max-batch", type=int, default=8)
     p.add_argument("--batch-window-ms", type=float, default=5.0)
     p.add_argument("--kernels", choices=["xla", "pallas"], default=None)
+    p.add_argument("--timeout-s", type=float, default=300.0,
+                   help="Per-request wait bound; must cover the first "
+                        "request's jit compile on a cold chip")
     args = p.parse_args(argv)
     logging.basicConfig(level=logging.INFO, format="%(levelname)s: %(message)s")
 
@@ -239,7 +258,7 @@ def main(argv=None):
         params, state, config, mask_values,
         scale=args.scale, threshold=args.mask_threshold, amp=args.amp,
         max_batch=args.max_batch, batch_window_ms=args.batch_window_ms,
-        kernels=args.kernels,
+        kernels=args.kernels, timeout_s=args.timeout_s,
     )
     server = ThreadingHTTPServer((args.host, args.port), make_handler(predictor))
     logger.info("Serving on %s:%d (max_batch=%d)", args.host, args.port, args.max_batch)

@@ -81,8 +81,14 @@ def make_train_step(
     weight_decay: float = 1e-8,
     momentum: float = 0.999,
     grad_clip: float = 1.0,
+    return_grads: bool = False,
 ):
-    """Build the single fused train step: fwd+loss+bwd+clip+RMSprop."""
+    """Build the single fused train step: fwd+loss+bwd+clip+RMSprop.
+
+    ``return_grads`` appends the clipped gradient pytree to the outputs
+    (for W&B gradient histograms, reference parity SURVEY.md §2 #22); off by
+    default so the hot path doesn't keep grads alive as program outputs.
+    """
     compute_dtype = jnp.bfloat16 if amp else None
 
     @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
@@ -100,6 +106,8 @@ def make_train_step(
             grads, opt_state, params, lr,
             weight_decay=weight_decay, momentum=momentum,
         )
+        if return_grads:
+            return new_params, new_bn, new_opt, loss, gnorm, grads
         return new_params, new_bn, new_opt, loss, gnorm
 
     return train_step
@@ -191,7 +199,12 @@ def train_model(
         if "opt_state" in extra:
             opt_state = extra.pop("opt_state")
         start_epoch = int(extra.get("epoch", 0)) + 1
-        scheduler.lr = float(extra.get("lr", learning_rate))
+        if "scheduler" in extra:
+            # Full plateau state (best/num_bad_epochs/cooldown), so a resumed
+            # run neither forgets plateau progress nor re-triggers lr drops.
+            scheduler.load_state_dict(extra["scheduler"])
+        else:  # older checkpoints carry only the lr
+            scheduler.lr = float(extra.get("lr", learning_rate))
         logger.info("Resumed from %s at epoch %d (lr %g)", resume, start_epoch, scheduler.lr)
         if sharding is not None:
             # Re-replicate: the load placed the restored trees on one device.
@@ -203,7 +216,17 @@ def train_model(
     train_step = make_train_step(
         config, amp=amp, remat=remat, weight_decay=weight_decay,
         momentum=momentum, grad_clip=gradient_clipping,
+        return_grads=experiment is not None,
     )
+
+    @jax.jit
+    def predict_logits(p, s, im):
+        """Eval forward for the W&B sample panel (pred mask at validation)."""
+        logits, _ = unet_apply(
+            p, s, im, config=config, train=False,
+            compute_dtype=jnp.bfloat16 if amp else None,
+        )
+        return logits
 
     history = {"train_loss": [], "val_dice": [], "lr": []}
     global_step = 0
@@ -216,12 +239,21 @@ def train_model(
         tqdm = None
 
     def drain_losses():
+        # One batched D2H fetch; per-step wandb logs ride the same drain so
+        # --wandb never reintroduces the ~29 ms/step float() sync.
         if pending_losses:
-            history["train_loss"].extend(float(l) for l in jax.device_get(pending_losses))
+            vals = [float(l) for l in jax.device_get(pending_losses)]
+            history["train_loss"].extend(vals)
+            if experiment:
+                for (s, ep), v in zip(pending_meta, vals):
+                    experiment.log({"train loss": v, "step": s, "epoch": ep})
             pending_losses.clear()
+            pending_meta.clear()
 
+    last_grads = None
     for epoch in range(start_epoch, epochs + 1):
         pending_losses: list = []
+        pending_meta: list = []
         feed = prefetch_to_device(train_loader, buffer_size=2, sharding=sharding)
         pbar = (
             tqdm(total=n_train, desc=f"Epoch {epoch}/{epochs}", unit="img", leave=False)
@@ -230,21 +262,22 @@ def train_model(
         for batch in feed:
             images = jnp.asarray(batch["image"])
             masks = jnp.asarray(batch["mask"])
-            params, bn_state, opt_state, loss, _ = train_step(
+            out = train_step(
                 params, bn_state, opt_state, images, masks,
                 jnp.float32(scheduler.lr),
             )
+            params, bn_state, opt_state, loss = out[:4]
+            last_grads = out[5] if len(out) > 5 else None
             global_step += 1
             # Keep the loss on device: a float() here costs a full D2H sync
-            # (~29 ms on the relay) EVERY step; values are fetched lazily at
-            # validation/epoch boundaries instead.
+            # (~29 ms on the relay) EVERY step; values (and wandb step logs)
+            # are fetched lazily at validation/epoch boundaries instead.
             pending_losses.append(loss)
+            pending_meta.append((global_step, epoch))
             if pbar:
                 pbar.update(images.shape[0])
-                if experiment or global_step % 10 == 0:
+                if global_step % 10 == 0:
                     pbar.set_postfix(loss=f"{float(loss):.4f}")
-            if experiment:
-                experiment.log({"train loss": float(loss), "step": global_step, "epoch": epoch})
 
             # Validation 5×/epoch, reference cadence.
             if division_step > 0 and global_step % division_step == 0:
@@ -255,24 +288,39 @@ def train_model(
                 history["lr"].append(lr_now)
                 logger.info("Validation Dice score: %f (IoU %f)", val_dice, val_iou)
                 if experiment:
-                    # Reference parity: weight histograms + sample triplet at
+                    # Reference parity: weight AND gradient histograms + the
+                    # sample triplet (image, true mask, predicted mask) at
                     # each validation (train.py W&B block, SURVEY.md §2 #22).
                     import wandb
 
-                    histograms = {}
-                    for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
-                        key = "Weights/" + "/".join(
-                            str(getattr(p, "key", p)) for p in path
-                        )
-                        histograms[key] = wandb.Histogram(np.asarray(leaf).ravel())
+                    def tree_histograms(tree, prefix):
+                        out = {}
+                        if tree is None:
+                            return out
+                        for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+                            key = prefix + "/".join(
+                                str(getattr(p, "key", p)) for p in path
+                            )
+                            vals = np.asarray(leaf).ravel()
+                            if np.all(np.isfinite(vals)):  # reference skips inf/nan
+                                out[key] = wandb.Histogram(vals)
+                        return out
+
+                    lg = predict_logits(params, bn_state, images[:1])
+                    if config.n_classes > 1:
+                        pred0 = np.asarray(jnp.argmax(lg[0], axis=-1))
+                    else:
+                        pred0 = np.asarray(jax.nn.sigmoid(lg[0, ..., 0]) > 0.5)
                     experiment.log({
                         "learning rate": lr_now, "validation Dice": val_dice,
                         "validation IoU": val_iou, "step": global_step, "epoch": epoch,
                         "images": wandb.Image(np.asarray(images[0])),
                         "masks": {
                             "true": wandb.Image(np.asarray(masks[0]).astype(np.float32)),
+                            "pred": wandb.Image(pred0.astype(np.float32)),
                         },
-                        **histograms,
+                        **tree_histograms(params, "Weights/"),
+                        **tree_histograms(last_grads, "Gradients/"),
                     })
 
         if pbar:
@@ -293,7 +341,9 @@ def train_model(
                 mask_values=getattr(dataset, "mask_values", None),
                 # Self-describing checkpoints: loaders rebuild the exact
                 # model config (arch, classes, deep supervision, ...).
-                extra={"epoch": epoch, "lr": scheduler.lr, "config": config._asdict()},
+                extra={"epoch": epoch, "lr": scheduler.lr,
+                       "scheduler": scheduler.state_dict(),
+                       "config": config._asdict()},
                 opt_state=opt_state if save_optimizer else None,
             )
             logger.info("Checkpoint %d saved!", epoch)
