@@ -1,0 +1,14 @@
+"""Convergence regression gate (VERDICT r1 next-step #7): the toy-scale
+training demo must clear its calibrated validation-Dice floor on CPU.
+Matches the reference README's quality claim at demo scale (SURVEY.md §6);
+the full-scale floor (0.93+ on the chip) lives in tools/train_demo.py."""
+
+from tools.train_demo import run
+
+
+def test_toy_convergence_clears_dice_floor():
+    result = run("ci")
+    assert result["passed"], (
+        f"val Dice {result['final_val_dice']} below floor "
+        f"{result['dice_floor']} — training quality regressed ({result})"
+    )

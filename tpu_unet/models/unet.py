@@ -151,7 +151,17 @@ def init_unet(
 # ---------------------------------------------------------------------------
 
 
-def _double_conv_apply(params, state, x, *, train: bool, axis_name=None):
+def _double_conv_apply(
+    params, state, x, *, train: bool, axis_name=None, kernels=None, first=False
+):
+    if kernels == "pallas" and train and axis_name is None:
+        # Fused train path: BN stats ride the conv epilogue, normalize+ReLU
+        # the next conv's prologue; custom_vjp backward (ops/conv_stats.py).
+        from tpu_unet.ops.conv_stats import double_conv_train_fused
+
+        return double_conv_train_fused(
+            params, state, x, input_needs_grad=not first
+        )
     h = conv2d(x, params["conv1"]["w"], stride=1, padding=1)
     h, bn1 = batch_norm(h.astype(x.dtype), params["bn1"], state["bn1"], train=train, axis_name=axis_name)
     h = jax.nn.relu(h)
@@ -161,7 +171,10 @@ def _double_conv_apply(params, state, x, *, train: bool, axis_name=None):
     return h, {"bn1": bn1, "bn2": bn2}
 
 
-def _up_apply(params, state, x1, x2, *, bilinear: bool, train: bool, axis_name=None):
+def _up_apply(
+    params, state, x1, x2, *, bilinear: bool, train: bool, axis_name=None,
+    kernels=None,
+):
     """Decoder block: upsample x1, pad to skip x2, concat [x2, x1], DoubleConv."""
     if bilinear:
         x1 = upsample2x_align_corners(x1)
@@ -171,7 +184,8 @@ def _up_apply(params, state, x1, x2, *, bilinear: bool, train: bool, axis_name=N
     x1 = pad_to_match(x1, x2)
     x = jnp.concatenate([x2, x1], axis=-1)
     out, conv_state = _double_conv_apply(
-        params["conv"], state["conv"], x, train=train, axis_name=axis_name
+        params["conv"], state["conv"], x, train=train, axis_name=axis_name,
+        kernels=kernels,
     )
     return out, {"conv": conv_state}
 
@@ -186,6 +200,7 @@ def unet_apply(
     compute_dtype=None,
     remat: bool = False,
     axis_name: str | None = None,
+    kernels: str | None = None,
 ) -> tuple[jax.Array, State]:
     """Forward pass. x: [N,H,W,n_channels] -> logits [N,H,W,n_classes].
 
@@ -194,6 +209,10 @@ def unet_apply(
     fp32, logits returned in fp32.
     remat=True is the analog of the reference's use_checkpointing() OOM
     fallback: every block recomputes activations in the backward pass.
+    kernels="pallas" (train mode) runs every DoubleConv on the fused
+    conv+BN-stats Pallas kernels (ops/conv_stats.py); GSPMD data parallelism
+    requires the XLA path (pallas_call is not auto-partitionable), which
+    train_model enforces.
     """
     if config.arch == "unetpp":
         from tpu_unet.models.unetpp import unetpp_apply
@@ -206,16 +225,22 @@ def unet_apply(
         x = x.astype(compute_dtype)
         params = jax.tree.map(lambda p: p.astype(compute_dtype), params)
 
-    dc = functools.partial(_double_conv_apply, train=train, axis_name=axis_name)
+    dc = functools.partial(
+        _double_conv_apply, train=train, axis_name=axis_name, kernels=kernels
+    )
+    # inc is the only block whose input (the image) needs no cotangent.
+    dc_first = functools.partial(dc, first=True)
     up = functools.partial(
-        _up_apply, bilinear=config.bilinear, train=train, axis_name=axis_name
+        _up_apply, bilinear=config.bilinear, train=train, axis_name=axis_name,
+        kernels=kernels,
     )
     if remat:
         dc = jax.checkpoint(dc)
+        dc_first = jax.checkpoint(dc_first)
         up = jax.checkpoint(up)
 
     new_state: State = {}
-    x1, new_state["inc"] = dc(params["inc"], state["inc"], x)
+    x1, new_state["inc"] = dc_first(params["inc"], state["inc"], x)
     x2, new_state["down1"] = dc(params["down1"], state["down1"], max_pool2d(x1))
     x3, new_state["down2"] = dc(params["down2"], state["down2"], max_pool2d(x2))
     x4, new_state["down3"] = dc(params["down3"], state["down3"], max_pool2d(x3))

@@ -82,12 +82,15 @@ def make_train_step(
     momentum: float = 0.999,
     grad_clip: float = 1.0,
     return_grads: bool = False,
+    kernels: str | None = None,
 ):
     """Build the single fused train step: fwd+loss+bwd+clip+RMSprop.
 
     ``return_grads`` appends the clipped gradient pytree to the outputs
     (for W&B gradient histograms, reference parity SURVEY.md §2 #22); off by
     default so the hot path doesn't keep grads alive as program outputs.
+    ``kernels="pallas"`` selects the fused train-path conv kernels
+    (ops/conv_stats.py); single-device only.
     """
     compute_dtype = jnp.bfloat16 if amp else None
 
@@ -96,7 +99,7 @@ def make_train_step(
         def loss_fn(p):
             logits, new_bn = unet_apply(
                 p, bn_state, images, config=config, train=True,
-                compute_dtype=compute_dtype, remat=remat,
+                compute_dtype=compute_dtype, remat=remat, kernels=kernels,
             )
             return compute_loss(logits, masks, config.n_classes), new_bn
 
@@ -136,6 +139,7 @@ def train_model(
     save_optimizer: bool = False,
     resume: str | None = None,
     device_preprocess: bool = False,
+    kernels: str | None = None,
 ):
     """The reference's train_model, TPU-native. Returns (params, bn_state, history)."""
     # 1–2. Split into train / validation partitions (torch randperm parity).
@@ -161,6 +165,12 @@ def train_model(
 
         train_loader = wrap(train_loader)
         val_loader = wrap(val_loader)
+
+    if kernels == "pallas" and data_parallel and jax.device_count() > 1:
+        # pallas_call is not auto-partitionable under GSPMD; batch-sharded
+        # inputs would be gathered whole onto every device. XLA path under DP.
+        logger.warning("--kernels pallas is single-device; using XLA kernels under --data-parallel")
+        kernels = None
 
     sharding = None
     if data_parallel and jax.device_count() > 1:
@@ -216,7 +226,7 @@ def train_model(
     train_step = make_train_step(
         config, amp=amp, remat=remat, weight_decay=weight_decay,
         momentum=momentum, grad_clip=gradient_clipping,
-        return_grads=experiment is not None,
+        return_grads=experiment is not None, kernels=kernels,
     )
 
     @jax.jit
@@ -374,6 +384,9 @@ def get_args(argv=None):
     parser.add_argument("--checkpoint-dir", type=str, default=str(dir_checkpoint))
     parser.add_argument("--data-dir", type=str, default="./data")
     parser.add_argument("--wandb", action="store_true", default=False, help="Enable W&B logging (offline by default)")
+    parser.add_argument("--kernels", choices=["xla", "pallas"], default=None,
+                        help="Conv backend for the train step: fused Pallas "
+                             "kernels (single-device) or XLA (default)")
     parser.add_argument("--device-preprocess", action="store_true", default=False,
                         help="Decode on host, resize/normalize on the TPU "
                              "(fast path; host PIL preprocess is the parity-exact default)")
@@ -445,6 +458,7 @@ def main(argv=None):
             save_optimizer=args.save_optimizer,
             resume=args.resume,
             device_preprocess=args.device_preprocess,
+            kernels=None if args.kernels == "xla" else args.kernels,
         )
 
     profiling = False
