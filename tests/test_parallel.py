@@ -136,3 +136,92 @@ def test_synced_bn_axis_name_matches_full_batch():
     np.testing.assert_allclose(
         np.asarray(new_state.var), np.asarray(ref_state.var), rtol=1e-5
     )
+
+
+def test_pallas_dp_step_matches_single_device_xla():
+    """--kernels pallas under data parallelism: the shard_map step (fused
+    Pallas convs per device, psum'd BN stat sums, pmean'd grads) must match
+    the single-device XLA step on the same global batch — same loss, same
+    BN running stats (global-batch semantics), same updated params within
+    train-mode BN reassociation tolerance."""
+    config = UNetConfig(3, 1, bilinear=True, base_channels=8)
+    params, state = init_unet(jax.random.PRNGKey(0), config)
+    opt = rmsprop_init(params)
+    imgs, masks = synth_batch(np.random.default_rng(0), 8, 32, 32)
+    imgs, masks = jnp.asarray(imgs), jnp.asarray(masks)
+    lr = jnp.float32(1e-3)
+
+    mesh = make_mesh()
+    shard = batch_sharding(mesh)
+    rep = replicated(mesh)
+    params_r = jax.device_put(params, rep)
+    state_r = jax.device_put(state, rep)
+    opt_r = jax.device_put(opt, rep)
+
+    ref_step = make_train_step(config)
+    # Fresh buffers for the donating reference step: device_put to a
+    # replicated sharding aliases the source as the device-0 shard, so
+    # donating the originals would delete the replicated copies too.
+    copy = lambda t: jax.tree.map(jnp.array, t)
+    p1, s1, o1, l1, g1 = ref_step(copy(params), copy(state), copy(opt), imgs, masks, lr)
+
+    dp_step = make_train_step(config, kernels="pallas", mesh=mesh)
+    p2, s2, o2, l2, g2 = dp_step(
+        params_r, state_r, opt_r,
+        jax.device_put(imgs, shard),
+        jax.device_put(masks, shard),
+        lr,
+    )
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-4)
+    np.testing.assert_allclose(float(g1), float(g2), rtol=2e-2)
+    for a, b in zip(jax.tree.leaves(s1), jax.tree.leaves(s2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-2)
+    assert jax.tree.leaves(p2)[0].sharding.is_fully_replicated
+
+
+def test_2d_dp_spatial_step_matches_single_device():
+    """2-D (data, spatial) GSPMD: batch over 'data', image height over
+    'spatial'. XLA spatially partitions the convs (halo exchanges inserted
+    automatically) and BN stats stay global-batch, so the full fused train
+    step must match single-device to reduction-order tolerance."""
+    from tpu_unet.parallel.mesh import image_sharding, make_mesh_2d
+
+    config = UNetConfig(3, 2, bilinear=True, base_channels=8)
+    params, state = init_unet(jax.random.PRNGKey(0), config)
+    opt = rmsprop_init(params)
+    rng = np.random.default_rng(0)
+    imgs, masks = synth_batch(rng, 4, 64, 64)  # binary masks ≡ 2-class indices
+    imgs, masks = jnp.asarray(imgs), jnp.asarray(masks)
+    lr = jnp.float32(1e-3)
+
+    step = make_train_step(config)
+    copy = lambda t: jax.tree.map(jnp.array, t)
+    p1, s1, o1, l1, g1 = step(copy(params), copy(state), copy(opt), imgs, masks, lr)
+
+    mesh = make_mesh_2d(spatial=4)  # 2 data x 4 spatial
+    assert mesh.shape == {"data": 2, "spatial": 4}
+    xsh = image_sharding(mesh)
+    rep = replicated(mesh)
+    p2, s2, o2, l2, g2 = step(
+        jax.device_put(params, rep),
+        jax.device_put(state, rep),
+        jax.device_put(opt, rep),
+        jax.device_put(imgs, xsh),
+        jax.device_put(masks, xsh),
+        lr,
+    )
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+    np.testing.assert_allclose(float(g1), float(g2), rtol=1e-3)
+    for a, b in zip(jax.tree.leaves(s1), jax.tree.leaves(s2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)
+    # Params: RMSprop's FIRST step from sq=0 is ~sign(g)·lr/√(1−β), so a
+    # reduction-order flip on a near-zero gradient moves that element by
+    # ~2·31.6·lr — bound the bulk tightly and the sign-flip tail by count.
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        diff = np.abs(np.asarray(a) - np.asarray(b))
+        assert np.median(diff) < 1e-5
+        n_off = int((diff > 1e-3).sum())
+        assert n_off <= max(3, 0.01 * diff.size), f"{n_off}/{diff.size} elements off"
+        assert diff.max() < 0.1

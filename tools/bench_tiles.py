@@ -1,9 +1,14 @@
-"""p50 per-tile inference latency on 2048² tiled sliding-window inference
-(north-star config #4). Run on the TPU chip; prints one JSON line.
+"""Tiled-inference latency on a 2048² image (north-star config #4).
 
-Sync via D2H fetch per tile (axon relay: block_until_ready returns at
-dispatch) — so each sample includes one ~29 ms tunnel RTT; p50 is reported
-both raw and RTT-adjusted.
+Round 2: the sliding-window sweep is ONE device program
+(parallel/tiling._tiled_forward_jit — window gather, batched forward, core
+scatter inside a jitted fori_loop), so the whole 2048² image costs one
+dispatch and one D2H fetch. This bench reports the RAW per-image latency
+and the derived RAW per-tile number alongside the round-1-style
+RTT-adjusted figure (VERDICT r1 next-round #4 asks for both).
+
+Sync via a D2H fetch (axon relay: block_until_ready returns at dispatch).
+Run on the TPU chip; prints one JSON line.
 """
 
 import json
@@ -15,39 +20,39 @@ import jax
 import jax.numpy as jnp
 
 from tpu_unet.models import UNetConfig, init_unet
-from tpu_unet.models.infer import fold_bn, unet_infer_apply
-from tpu_unet.parallel.tiling import DEFAULT_HALO
+from tpu_unet.parallel.tiling import DEFAULT_HALO, tiled_forward
 
 CONFIG = UNetConfig(3, 1, bilinear=False)
 TILE = 512
 HALO = DEFAULT_HALO  # 128
+SIZE = 2048
+N_TILES = (SIZE // TILE) ** 2  # 16
 
 
 def main():
     params, state = init_unet(jax.random.PRNGKey(0), CONFIG)
-    folded = fold_bn(params, state, CONFIG)
-    win = TILE + 2 * HALO
     rng = np.random.default_rng(0)
-    window = jnp.asarray(rng.random((1, win, win, 3), dtype=np.float32))
+    image = jnp.asarray(rng.random((1, SIZE, SIZE, 3), dtype=np.float32))
 
     def run(x):
-        return unet_infer_apply(folded, x, config=CONFIG, backend="xla",
-                                compute_dtype=jnp.bfloat16)
+        return tiled_forward(
+            params, state, x, config=CONFIG, tile=TILE, halo=HALO, amp=True,
+            window_batch=4,
+        )
 
-    out = run(window)
+    out = run(image)
     float(jnp.sum(out[0, 0, 0]))  # compile + sync
 
     lat = []
-    for _ in range(16):  # a 2048² image is 16 tiles of 512²
+    for _ in range(8):
         t0 = time.perf_counter()
-        out = run(window)
+        out = run(image)
         float(jnp.sum(out[0, 0, 0]))
         lat.append(time.perf_counter() - t0)
-    p50 = float(np.percentile(lat, 50))
+    p50_img = float(np.percentile(lat, 50))
 
-    # RTT estimate AFTER the latency loop (warm everything), median of 9
-    # trivial fetches of a tiny precomputed sum.
-    tiny = jnp.sum(window[0, 0, 0])
+    # Tunnel RTT, measured warm: median of 9 trivial fetches.
+    tiny = jnp.sum(image[0, 0, 0])
     float(tiny)
     rtts = []
     for _ in range(9):
@@ -55,14 +60,17 @@ def main():
         float(tiny + 0.0)
         rtts.append(time.perf_counter() - t0)
     rtt = float(np.median(rtts))
+
     print(json.dumps({
-        "metric": "p50 per-tile latency (512^2 core + 128 halo, 2048^2 image)",
-        "value": round(p50 * 1e3, 2),
+        "metric": "2048^2 tiled inference latency (512 tile + 128 halo, bf16, one dispatch)",
+        "value": round(p50_img * 1e3, 1),
         "unit": "ms",
-        "p50_minus_rtt_ms": round((p50 - rtt) * 1e3, 2),
+        "raw_per_tile_ms": round(p50_img / N_TILES * 1e3, 2),
+        "rtt_adjusted_image_ms": round((p50_img - rtt) * 1e3, 1),
+        "rtt_adjusted_per_tile_ms": round((p50_img - rtt) / N_TILES * 1e3, 2),
         "rtt_ms": round(rtt * 1e3, 2),
-        "tiles_per_2048_image": 16,
-        "image_latency_est_ms": round((p50 - rtt) * 16 * 1e3 + rtt * 1e3, 1),
+        "tiles": N_TILES,
+        "window_batch": 4,
     }))
 
 

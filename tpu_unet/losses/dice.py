@@ -25,10 +25,17 @@ def dice_coeff(
     target: jax.Array,
     reduce_batch_first: bool = False,
     epsilon: float = 1e-6,
+    axis_name: str | None = None,
 ) -> jax.Array:
     """Average of Dice coefficient for all batches, or for a single mask.
 
     input/target: [H,W] or [N,H,W] (binary masks / probabilities).
+
+    ``axis_name`` (shard_map data parallelism) reproduces the GLOBAL-batch
+    value: with reduce_batch_first the Dice ratio is one global
+    Σinter/Σsets over the whole batch, which does NOT decompose into a mean
+    of per-shard ratios — the sums must be psum'd across devices before
+    the division (the GSPMD jit path gets this implicitly).
     """
     assert input.shape == target.shape
     assert input.ndim == 3 or not reduce_batch_first
@@ -36,10 +43,17 @@ def dice_coeff(
 
     inter = 2 * jnp.sum(input * target, axis=sum_dim)
     sets_sum = jnp.sum(input, axis=sum_dim) + jnp.sum(target, axis=sum_dim)
+    if axis_name is not None and reduce_batch_first:
+        inter = jax.lax.psum(inter, axis_name)
+        sets_sum = jax.lax.psum(sets_sum, axis_name)
     sets_sum = jnp.where(sets_sum == 0, inter, sets_sum)
 
     dice = (inter + epsilon) / (sets_sum + epsilon)
-    return jnp.mean(dice)
+    dice = jnp.mean(dice)
+    if axis_name is not None and not reduce_batch_first:
+        # Per-sample ratios: global mean = mean of equal-size shard means.
+        dice = jax.lax.pmean(dice, axis_name)
+    return dice
 
 
 def multiclass_dice_coeff(
@@ -47,6 +61,7 @@ def multiclass_dice_coeff(
     target: jax.Array,
     reduce_batch_first: bool = False,
     epsilon: float = 1e-6,
+    axis_name: str | None = None,
 ) -> jax.Array:
     """Average of Dice coefficient for all classes.
 
@@ -56,13 +71,18 @@ def multiclass_dice_coeff(
     n, h, w, c = input.shape
     flat_in = jnp.moveaxis(input, -1, 1).reshape(n * c, h, w)
     flat_tg = jnp.moveaxis(target, -1, 1).reshape(n * c, h, w)
-    return dice_coeff(flat_in, flat_tg, reduce_batch_first, epsilon)
+    return dice_coeff(flat_in, flat_tg, reduce_batch_first, epsilon, axis_name)
 
 
-def dice_loss(input: jax.Array, target: jax.Array, multiclass: bool = False) -> jax.Array:
+def dice_loss(
+    input: jax.Array,
+    target: jax.Array,
+    multiclass: bool = False,
+    axis_name: str | None = None,
+) -> jax.Array:
     """Dice loss (objective to minimize) between 0 and 1."""
     fn = multiclass_dice_coeff if multiclass else dice_coeff
-    return 1 - fn(input, target, reduce_batch_first=True)
+    return 1 - fn(input, target, reduce_batch_first=True, axis_name=axis_name)
 
 
 def iou_coeff(

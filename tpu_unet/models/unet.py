@@ -154,13 +154,14 @@ def init_unet(
 def _double_conv_apply(
     params, state, x, *, train: bool, axis_name=None, kernels=None, first=False
 ):
-    if kernels == "pallas" and train and axis_name is None:
+    if kernels == "pallas" and train:
         # Fused train path: BN stats ride the conv epilogue, normalize+ReLU
         # the next conv's prologue; custom_vjp backward (ops/conv_stats.py).
+        # axis_name (shard_map DP) psums the stat sums → global batch stats.
         from tpu_unet.ops.conv_stats import double_conv_train_fused
 
         return double_conv_train_fused(
-            params, state, x, input_needs_grad=not first
+            params, state, x, input_needs_grad=not first, axis_name=axis_name
         )
     h = conv2d(x, params["conv1"]["w"], stride=1, padding=1)
     h, bn1 = batch_norm(h.astype(x.dtype), params["bn1"], state["bn1"], train=train, axis_name=axis_name)
@@ -210,9 +211,10 @@ def unet_apply(
     remat=True is the analog of the reference's use_checkpointing() OOM
     fallback: every block recomputes activations in the backward pass.
     kernels="pallas" (train mode) runs every DoubleConv on the fused
-    conv+BN-stats Pallas kernels (ops/conv_stats.py); GSPMD data parallelism
-    requires the XLA path (pallas_call is not auto-partitionable), which
-    train_model enforces.
+    conv+BN-stats Pallas kernels (ops/conv_stats.py). Under data parallelism
+    pallas_call is not auto-partitionable by GSPMD, so train_model wraps the
+    step in shard_map and passes axis_name — the fused path then psums its
+    stat sums for global-batch BN semantics.
     """
     if config.arch == "unetpp":
         from tpu_unet.models.unetpp import unetpp_apply

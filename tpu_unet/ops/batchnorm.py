@@ -59,22 +59,27 @@ def batch_norm(
     orig_dtype = x.dtype
     if train:
         xf = x.astype(jnp.float32)
-        mean = jnp.mean(xf, axis=(0, 1, 2))
-        # Biased variance for normalization (torch semantics). Two-pass form:
-        # E[(x-μ)²] avoids the E[x²]−E[x]² cancellation, which otherwise makes
-        # gradients sensitive to reduction order (visible as sharded-vs-single
-        # device drift in the DP invariance tests).
-        var = jnp.mean(jnp.square(xf - mean), axis=(0, 1, 2))
         n = x.shape[0] * x.shape[1] * x.shape[2]
+        # One-pass statistics: Σx and Σx² are sibling reductions over the
+        # same operand, which XLA multi-output-fuses into a SINGLE sweep of
+        # the activation — the two-pass E[(x-μ)²] form forces a second full
+        # HBM read per BN because the var reduction waits on the completed
+        # mean (measured: BN stat reductions were ~14.5% of the 572² train
+        # step; tools/bench_experiments.py evalbn_b16, BENCH_NOTES.md r2).
+        # The E[x²]−E[x]² cancellation is benign here: BN inputs are conv
+        # outputs with |mean| ≲ σ, so the lost precision is far below the
+        # bf16 activation resolution (parity asserted vs the two-pass torch
+        # oracle in tests/test_model.py / test_train_e2e.py).
+        s1 = jnp.sum(xf, axis=(0, 1, 2))
+        s2 = jnp.sum(jnp.square(xf), axis=(0, 1, 2))
         if axis_name is not None:
-            # Global variance must be taken around the GLOBAL mean: with
-            # equal-size shards, var_g = E_r[var_r + (mean_r - mean_g)^2].
-            # pmean of the local variances alone understates it whenever the
-            # per-replica means differ.
-            mean_local = mean
-            mean = jax.lax.pmean(mean, axis_name)
-            var = jax.lax.pmean(var + jnp.square(mean_local - mean), axis_name)
+            # Cross-replica sums give global-batch statistics directly
+            # (around the global mean, including the between-replica term).
+            s1 = jax.lax.psum(s1, axis_name)
+            s2 = jax.lax.psum(s2, axis_name)
             n = n * jax.lax.psum(1, axis_name)
+        mean = s1 / n
+        var = s2 / n - jnp.square(mean)
         # Unbiased variance for the running buffer (torch semantics).
         unbiased = var * (n / max(n - 1, 1))
         new_state = BNState(

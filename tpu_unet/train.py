@@ -49,7 +49,9 @@ from tpu_unet.evaluate import evaluate
 from tpu_unet.losses import bce_with_logits, cross_entropy, dice_loss
 from tpu_unet.models import UNetConfig, init_unet, param_count, unet_apply
 from tpu_unet.optim import ReduceLROnPlateau, clip_grad_norm, rmsprop_init, rmsprop_update
-from tpu_unet.parallel.mesh import batch_sharding, make_mesh, replicated
+from tpu_unet.parallel.mesh import (
+    batch_sharding, image_sharding, make_mesh, make_mesh_2d, replicated,
+)
 
 logger = logging.getLogger(__name__)
 
@@ -58,19 +60,30 @@ dir_mask = Path("./data/masks/")
 dir_checkpoint = Path("./checkpoints/")
 
 
-def compute_loss(logits, masks, n_classes: int):
-    """The reference's combined criterion (SURVEY.md §3.1 hot loop)."""
+def compute_loss(logits, masks, n_classes: int, axis_name: str | None = None):
+    """The reference's combined criterion (SURVEY.md §3.1 hot loop).
+
+    With ``axis_name`` (shard_map DP) the returned scalar is the REPLICATED
+    global-batch loss: the BCE/CE local means are pmean'd (equal shards) and
+    the Dice ratio's sums are psum'd before the division — a mean of
+    per-shard Dice ratios would NOT equal the global-batch Dice the GSPMD
+    path computes. Gradients of this replicated scalar are per-device
+    partials, so the caller must psum (not pmean) them.
+    """
     if n_classes == 1:
         logit = logits[..., 0]
         mask_f = masks.astype(jnp.float32)
-        return bce_with_logits(logit, mask_f) + dice_loss(
-            jax.nn.sigmoid(logit), mask_f, multiclass=False
-        )
+        ce = bce_with_logits(logit, mask_f)
+        dl = dice_loss(jax.nn.sigmoid(logit), mask_f, multiclass=False,
+                       axis_name=axis_name)
     else:
         mask_oh = jax.nn.one_hot(masks, n_classes, dtype=jnp.float32)
-        return cross_entropy(logits, masks) + dice_loss(
-            jax.nn.softmax(logits, axis=-1), mask_oh, multiclass=True
-        )
+        ce = cross_entropy(logits, masks)
+        dl = dice_loss(jax.nn.softmax(logits, axis=-1), mask_oh, multiclass=True,
+                       axis_name=axis_name)
+    if axis_name is not None:
+        ce = jax.lax.pmean(ce, axis_name)
+    return ce + dl
 
 
 def make_train_step(
@@ -83,6 +96,7 @@ def make_train_step(
     grad_clip: float = 1.0,
     return_grads: bool = False,
     kernels: str | None = None,
+    mesh=None,
 ):
     """Build the single fused train step: fwd+loss+bwd+clip+RMSprop.
 
@@ -90,20 +104,33 @@ def make_train_step(
     (for W&B gradient histograms, reference parity SURVEY.md §2 #22); off by
     default so the hot path doesn't keep grads alive as program outputs.
     ``kernels="pallas"`` selects the fused train-path conv kernels
-    (ops/conv_stats.py); single-device only.
+    (ops/conv_stats.py). With ``mesh`` (a 1-D ('data',) mesh) the step runs
+    under shard_map — params replicated, batch sharded, grads/loss pmean'd,
+    BN stat sums psum'd — which is how the Pallas kernels participate in
+    data parallelism (pallas_call is not auto-partitionable under GSPMD, so
+    the plain jit path cannot shard them).
     """
     compute_dtype = jnp.bfloat16 if amp else None
+    axis_name = "data" if mesh is not None else None
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
-    def train_step(params, bn_state, opt_state, images, masks, lr):
+    def step_body(params, bn_state, opt_state, images, masks, lr):
         def loss_fn(p):
             logits, new_bn = unet_apply(
                 p, bn_state, images, config=config, train=True,
                 compute_dtype=compute_dtype, remat=remat, kernels=kernels,
+                axis_name=axis_name,
             )
-            return compute_loss(logits, masks, config.n_classes), new_bn
+            return compute_loss(logits, masks, config.n_classes, axis_name), new_bn
 
         (loss, new_bn), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        if axis_name is not None:
+            # compute_loss returns the replicated GLOBAL loss (collectives
+            # inside). JAX transposes psum as psum, so each device's grad
+            # already carries an extra factor of the axis size on the
+            # collective-reduced terms — pmean (not psum) of the per-device
+            # partials reproduces the single-device gradient exactly
+            # (asserted vs the XLA GSPMD step in test_parallel.py).
+            grads = jax.lax.pmean(grads, axis_name)
         grads, gnorm = clip_grad_norm(grads, grad_clip)
         new_params, new_opt = rmsprop_update(
             grads, opt_state, params, lr,
@@ -113,7 +140,21 @@ def make_train_step(
             return new_params, new_bn, new_opt, loss, gnorm, grads
         return new_params, new_bn, new_opt, loss, gnorm
 
-    return train_step
+    if mesh is None:
+        return functools.partial(jax.jit, donate_argnums=(0, 1, 2))(step_body)
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    n_out = 6 if return_grads else 5
+    sharded = shard_map(
+        step_body,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P("data"), P("data"), P()),
+        out_specs=(P(),) * n_out,
+        check_vma=False,
+    )
+    return functools.partial(jax.jit, donate_argnums=(0, 1, 2))(sharded)
 
 
 def train_model(
@@ -140,6 +181,7 @@ def train_model(
     resume: str | None = None,
     device_preprocess: bool = False,
     kernels: str | None = None,
+    spatial_parallel: int = 1,
 ):
     """The reference's train_model, TPU-native. Returns (params, bn_state, history)."""
     # 1–2. Split into train / validation partitions (torch randperm parity).
@@ -166,19 +208,32 @@ def train_model(
         train_loader = wrap(train_loader)
         val_loader = wrap(val_loader)
 
-    if kernels == "pallas" and data_parallel and jax.device_count() > 1:
-        # pallas_call is not auto-partitionable under GSPMD; batch-sharded
-        # inputs would be gathered whole onto every device. XLA path under DP.
-        logger.warning("--kernels pallas is single-device; using XLA kernels under --data-parallel")
-        kernels = None
-
     sharding = None
+    step_mesh = None
     if data_parallel and jax.device_count() > 1:
-        mesh = make_mesh()
-        sharding = batch_sharding(mesh)
+        if spatial_parallel > 1:
+            # 2-D dp×sp GSPMD: batch over 'data', image height over
+            # 'spatial' (XLA spatially partitions the convs and inserts the
+            # halo exchanges). For when chips outnumber the batch or one
+            # image's activations exceed a chip's HBM.
+            if kernels == "pallas":
+                raise ValueError(
+                    "--kernels pallas data parallelism is 1-D (shard_map); "
+                    "--spatial-parallel requires the XLA backend"
+                )
+            mesh = make_mesh_2d(spatial_parallel)
+        else:
+            mesh = make_mesh()
+        sharding = image_sharding(mesh)
         rep = replicated(mesh)
         params = jax.device_put(params, rep)
         bn_state = jax.device_put(bn_state, rep)
+        if kernels == "pallas":
+            # pallas_call is not auto-partitionable under GSPMD, so the DP
+            # step runs under shard_map instead: each device runs the fused
+            # kernels on its local batch shard, BN stat sums are psum'd
+            # (global-batch stats, same semantics as the GSPMD XLA path).
+            step_mesh = mesh
 
     experiment = None
     if use_wandb:
@@ -226,7 +281,7 @@ def train_model(
     train_step = make_train_step(
         config, amp=amp, remat=remat, weight_decay=weight_decay,
         momentum=momentum, grad_clip=gradient_clipping,
-        return_grads=experiment is not None, kernels=kernels,
+        return_grads=experiment is not None, kernels=kernels, mesh=step_mesh,
     )
 
     @jax.jit
@@ -381,12 +436,19 @@ def get_args(argv=None):
                         help="UNet++ only: per-column output heads, averaged")
     parser.add_argument("--data-parallel", action="store_true", default=False,
                         help="Shard the batch across all visible TPU devices (GSPMD)")
+    parser.add_argument("--spatial-parallel", type=int, default=1,
+                        help="With --data-parallel: also shard image HEIGHT "
+                             "over this many devices (2-D dp×sp mesh; XLA "
+                             "inserts the conv halo exchanges). Use when "
+                             "chips outnumber the batch or activations "
+                             "exceed one chip's HBM")
     parser.add_argument("--checkpoint-dir", type=str, default=str(dir_checkpoint))
     parser.add_argument("--data-dir", type=str, default="./data")
     parser.add_argument("--wandb", action="store_true", default=False, help="Enable W&B logging (offline by default)")
     parser.add_argument("--kernels", choices=["xla", "pallas"], default=None,
                         help="Conv backend for the train step: fused Pallas "
-                             "kernels (single-device) or XLA (default)")
+                             "kernels (shard_map under --data-parallel) or "
+                             "XLA (default)")
     parser.add_argument("--device-preprocess", action="store_true", default=False,
                         help="Decode on host, resize/normalize on the TPU "
                              "(fast path; host PIL preprocess is the parity-exact default)")
@@ -459,6 +521,7 @@ def main(argv=None):
             resume=args.resume,
             device_preprocess=args.device_preprocess,
             kernels=None if args.kernels == "xla" else args.kernels,
+            spatial_parallel=args.spatial_parallel,
         )
 
     profiling = False
