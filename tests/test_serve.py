@@ -110,3 +110,32 @@ def test_mixed_size_batch_matches_solo(predictor, rng):
     np.testing.assert_array_equal(
         slots[1]["mask"], predict_img(params, state, config, big, scale_factor=1.0)
     )
+
+
+def test_serve_exported_artifact(tmp_path, rng):
+    """Deployment loop: export → serve the .jaxexp artifact. Requests at any
+    resolution are resized to the artifact's static input; output masks come
+    back at each request's original resolution."""
+    from tpu_unet.export import export_infer, load_exported, save_exported
+    from tpu_unet.models import init_unet
+
+    config = UNetConfig(3, 1, bilinear=True, base_channels=8)
+    params, state = init_unet(jax.random.PRNGKey(0), config)
+    exported = export_infer(
+        params, state, config, height=48, width=64, amp=False, platforms=("cpu",)
+    )
+    path = tmp_path / "m.jaxexp"
+    save_exported(exported, path)
+    reloaded = load_exported(path)
+
+    p = BatchedPredictor(
+        None, None, config, [0, 255],
+        amp=False, max_batch=4, batch_window_ms=5.0,
+        fwd=reloaded.call, static_hw=(48, 64),
+    )
+    try:
+        for h, w in ((48, 64), (96, 100)):  # native and off-size requests
+            mask = p.predict_one(_img(rng, h, w))
+            assert mask.shape == (h, w) and mask.dtype == bool
+    finally:
+        p.stop()

@@ -1,0 +1,162 @@
+"""Ahead-of-time model export: serialized StableHLO deployment artifacts.
+
+The reference deploys by shipping the Python model class plus a ``.pth``
+(torch.hub / predict.py; SURVEY.md §2 #17–20). The TPU-native deployment
+story is ahead-of-time compilation: ``jax.export`` lowers the BN-folded
+inference forward to StableHLO once, weights baked in as constants, and the
+serialized artifact runs in any JAX process — no model code, no checkpoint
+loading, no Python class versioning at the serving site. This is the
+artifact a production fleet loads.
+
+Design choices:
+  * The XLA backend only (no Pallas custom-calls inside the artifact), so
+    one artifact is portable across platforms; by default it is lowered for
+    BOTH 'tpu' and 'cpu' (multi-platform export) so the same file serves on
+    a TPU pod and on a CPU canary.
+  * Batch is a SYMBOLIC dimension by default (jax.export symbolic shapes):
+    the serving site calls with any batch size without re-export; H×W stay
+    static (XLA wants static spatial tiling on TPU — variable image sizes
+    are the tiler's job, parallel/tiling.py).
+  * Weights are baked into the artifact as constants: self-contained file,
+    one ``load`` → ``call``.
+
+CLI:
+  python -m tpu_unet.export -m ckpt.npz -o model.jaxexp --height 320 --width 480
+  python -m tpu_unet.export -m ckpt.npz -o model.jaxexp ... --check  # round-trip
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+from pathlib import Path
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from tpu_unet.models import UNetConfig, init_unet
+from tpu_unet.models.infer import fold_bn, unet_infer_apply
+
+logger = logging.getLogger(__name__)
+
+DEFAULT_PLATFORMS = ("tpu", "cpu")
+
+
+def export_infer(
+    params,
+    state,
+    config: UNetConfig,
+    *,
+    height: int,
+    width: int,
+    batch: int | None = None,
+    amp: bool = True,
+    platforms=DEFAULT_PLATFORMS,
+):
+    """Export the BN-folded eval forward as a jax.export.Exported.
+
+    ``batch=None`` exports a symbolic batch dimension (call with any batch);
+    an int pins it. Returns the Exported; weights are baked in, so the
+    caller invokes ``exported.call(x)`` with just the image batch
+    [N, height, width, n_channels] float32 and gets fp32 logits
+    [N, height, width, n_classes].
+    """
+    folded = fold_bn(params, state, config)
+    compute_dtype = jnp.bfloat16 if amp else None
+
+    def fn(x):
+        return unet_infer_apply(
+            folded, x, config=config, backend="xla", compute_dtype=compute_dtype
+        )
+
+    if batch is None:
+        (b,) = jax.export.symbolic_shape("b")
+    else:
+        b = batch
+    xspec = jax.ShapeDtypeStruct((b, height, width, config.n_channels), jnp.float32)
+    return jax.export.export(jax.jit(fn), platforms=list(platforms))(xspec)
+
+
+def save_exported(exported, path: str | Path) -> None:
+    Path(path).write_bytes(exported.serialize())
+
+
+def load_exported(path: str | Path):
+    """Deserialize an artifact; returns the Exported (use ``.call(x)``)."""
+    return jax.export.deserialize(Path(path).read_bytes())
+
+
+def _load_model(model_path: str, args):
+    """Checkpoint loading with self-describing config (predict.py parity)."""
+    from tpu_unet.checkpoint import import_pth, load_checkpoint, read_checkpoint_meta
+
+    config = UNetConfig(
+        n_channels=3, n_classes=args.classes, bilinear=args.bilinear
+    )
+    if str(model_path).endswith(".pth"):
+        params, state, _ = import_pth(model_path, config)
+        return params, state, config
+    _, extra = read_checkpoint_meta(model_path)
+    if "config" in extra:
+        config = UNetConfig(**extra["config"])
+    params, state = init_unet(jax.random.PRNGKey(0), config)
+    params, state, _, _ = load_checkpoint(model_path, params, state)
+    return params, state, config
+
+
+def get_args(argv=None):
+    p = argparse.ArgumentParser(description="Export the model as a serialized StableHLO artifact")
+    p.add_argument("--model", "-m", required=True, help="Checkpoint (.npz or .pth)")
+    p.add_argument("--output", "-o", required=True, help="Output artifact path")
+    p.add_argument("--height", type=int, required=True, help="Static input height")
+    p.add_argument("--width", type=int, required=True, help="Static input width")
+    p.add_argument("--batch", type=int, default=None,
+                   help="Pin the batch dim (default: symbolic, any batch)")
+    p.add_argument("--no-amp", dest="amp", action="store_false", default=True,
+                   help="Compute in fp32 instead of bf16")
+    p.add_argument("--platforms", type=str, default=",".join(DEFAULT_PLATFORMS),
+                   help="Comma-separated lowering platforms")
+    p.add_argument("--check", action="store_true", default=False,
+                   help="Round-trip the artifact and verify vs the live model")
+    p.add_argument("--classes", "-c", type=int, default=1)
+    p.add_argument("--bilinear", action="store_true", default=False)
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    logging.basicConfig(level=logging.INFO, format="%(levelname)s: %(message)s")
+    args = get_args(argv)
+    params, state, config = _load_model(args.model, args)
+    exported = export_infer(
+        params, state, config,
+        height=args.height, width=args.width, batch=args.batch, amp=args.amp,
+        platforms=[s.strip() for s in args.platforms.split(",") if s.strip()],
+    )
+    save_exported(exported, args.output)
+    size_mb = Path(args.output).stat().st_size / 1e6
+    logger.info(
+        "Exported %s -> %s (%.1f MB, platforms=%s, batch=%s, %dx%d)",
+        args.model, args.output, size_mb, exported.platforms,
+        args.batch or "symbolic", args.height, args.width,
+    )
+    if args.check:
+        reloaded = load_exported(args.output)
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(
+            rng.random((args.batch or 2, args.height, args.width, config.n_channels),
+                       dtype=np.float32)
+        )
+        got = np.asarray(reloaded.call(x))
+        folded = fold_bn(params, state, config)
+        want = np.asarray(unet_infer_apply(
+            folded, x, config=config, backend="xla",
+            compute_dtype=jnp.bfloat16 if args.amp else None,
+        ))
+        np.testing.assert_allclose(got, want, atol=1e-5)
+        logger.info("Round-trip check OK (max |Δ| = %.2e)", np.abs(got - want).max())
+
+
+if __name__ == "__main__":
+    main()

@@ -33,3 +33,17 @@ def max_pool2d(x: jax.Array, window: int = 2, stride: int | None = None) -> jax.
         window_strides=(1, stride, stride, 1),
         padding="VALID",
     )
+
+
+# Train-path pool backward: XLA's select-and-scatter stays, deliberately.
+# The step profile (tools/profile_step.py, b16 572² bf16) shows it at
+# ~8 ms/step (~3.6%) across the four levels, and BOTH replacements measured
+# worse (BENCH_NOTES.md round 2):
+#   * Pallas first-max routing kernel: VMEM-infeasible — Mosaic relayouts of
+#     the in-kernel W-pair reshapes need 34 MB scoped VMEM at 286²·C64
+#     against the 16 MB stack limit.
+#   * Pure-XLA strided-view + cumulative first-max masks + stack-interleave
+#     (custom_vjp): bit-exact, but 71.0 → 61.8 img/s end-to-end — stride-2
+#     W access and interleave relayouts on the (8,128)-tiled layout cost
+#     more than the windowed scatter they replace (same failure mode as the
+#     reshape-split FORWARD experiment, see max_pool2d's note).

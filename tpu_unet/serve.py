@@ -61,8 +61,16 @@ class BatchedPredictor:
         batch_window_ms: float = 5.0,
         kernels: str | None = None,
         timeout_s: float = 300.0,
+        fwd=None,
+        static_hw: tuple[int, int] | None = None,
     ):
+        """``fwd``/``static_hw`` serve a pre-compiled artifact (export.py):
+        ``fwd`` is called instead of building a model from params/state, and
+        every request is resized to the artifact's static ``(H, W)`` input
+        (the standard fixed-resolution deployment contract; masks are still
+        returned at each request's original resolution via logit upscale)."""
         self.config = config
+        self.static_hw = static_hw
         self.mask_values = mask_values or ([0, 1] if config.n_classes == 1 else list(range(config.n_classes)))
         self.scale = scale
         self.threshold = threshold
@@ -73,7 +81,9 @@ class BatchedPredictor:
         self._queue: queue.Queue = queue.Queue()
         self._stop = threading.Event()
 
-        if kernels:
+        if fwd is not None:
+            pass  # exported-artifact forward, used as-is
+        elif kernels:
             from tpu_unet.models.infer import fold_bn, unet_infer_apply
 
             folded = fold_bn(params, state, config)
@@ -132,12 +142,23 @@ class BatchedPredictor:
                     break
             self._run_batch(batch)
 
+    def _preprocess(self, img: Image.Image) -> np.ndarray:
+        if self.static_hw is not None:
+            # Artifact mode: the compiled program has one static input shape —
+            # resize straight to it (BICUBIC, preprocess parity) and normalize.
+            h, w = self.static_hw
+            arr = np.asarray(img.resize((w, h), resample=Image.BICUBIC))
+            if arr.ndim == 2:
+                arr = arr[..., None]
+            arr = arr.astype(np.float32)
+            if (arr > 1).any():
+                arr = arr / 255.0
+            return arr
+        return BasicDataset.preprocess(None, img, self.scale, is_mask=False)
+
     def _run_batch(self, batch):
         try:
-            pre = [
-                BasicDataset.preprocess(None, img, self.scale, is_mask=False)
-                for img, _, _ in batch
-            ]
+            pre = [self._preprocess(img) for img, _, _ in batch]
             # Group by preprocessed (H, W): zero-padding a smaller image onto
             # a larger canvas shifts its pool/upsample grid alignment, so its
             # mask near the pad boundary would diverge from a solo prediction.
@@ -240,6 +261,42 @@ def main(argv=None):
     logging.basicConfig(level=logging.INFO, format="%(levelname)s: %(message)s")
 
     config = UNetConfig(3, args.classes, bilinear=args.bilinear, arch=args.arch)
+    if str(args.model).endswith(".jaxexp"):
+        # Serialized StableHLO artifact (export.py): weights baked in, no
+        # model code or checkpoint needed at the serving site.
+        from tpu_unet.export import load_exported
+
+        exported = load_exported(args.model)
+        (in_aval,) = exported.in_avals
+        _, h_a, w_a, _ = in_aval.shape
+        n_classes = int(exported.out_avals[0].shape[-1])
+        if not isinstance(in_aval.shape[0], int):
+            pass  # symbolic batch: any max_batch works
+        elif in_aval.shape[0] != args.max_batch:
+            raise SystemExit(
+                f"artifact batch is pinned to {in_aval.shape[0]}; "
+                f"pass --max-batch {in_aval.shape[0]}"
+            )
+        config = UNetConfig(3, n_classes, bilinear=args.bilinear, arch=args.arch)
+        predictor = BatchedPredictor(
+            None, None, config, None,
+            scale=args.scale, threshold=args.mask_threshold, amp=args.amp,
+            max_batch=args.max_batch, batch_window_ms=args.batch_window_ms,
+            timeout_s=args.timeout_s,
+            fwd=exported.call, static_hw=(int(h_a), int(w_a)),
+        )
+        server = ThreadingHTTPServer((args.host, args.port), make_handler(predictor))
+        logger.info(
+            "Serving artifact %s on %s:%d (static %dx%d, %d classes)",
+            args.model, args.host, args.port, h_a, w_a, n_classes,
+        )
+        try:
+            server.serve_forever()
+        except KeyboardInterrupt:
+            pass
+        finally:
+            predictor.stop()
+        return
     if str(args.model).endswith(".pth"):
         from tpu_unet.checkpoint import import_pth
 

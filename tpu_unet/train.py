@@ -182,6 +182,7 @@ def train_model(
     device_preprocess: bool = False,
     kernels: str | None = None,
     spatial_parallel: int = 1,
+    augment=None,
 ):
     """The reference's train_model, TPU-native. Returns (params, bn_state, history)."""
     # 1–2. Split into train / validation partitions (torch randperm parity).
@@ -327,6 +328,15 @@ def train_model(
         for batch in feed:
             images = jnp.asarray(batch["image"])
             masks = jnp.asarray(batch["mask"])
+            if augment is not None:
+                # Device-side augmentation (beyond-reference, data/augment.py):
+                # one jitted program over the already-resident batch, keyed by
+                # (seed, global_step) so every draw is reproducible regardless
+                # of host iteration timing.
+                from tpu_unet.data.augment import augment_batch
+
+                akey = jax.random.fold_in(jax.random.PRNGKey(seed), global_step)
+                images, masks = augment_batch(akey, images, masks, config=augment)
             out = train_step(
                 params, bn_state, opt_state, images, masks,
                 jnp.float32(scheduler.lr),
@@ -449,6 +459,9 @@ def get_args(argv=None):
                         help="Conv backend for the train step: fused Pallas "
                              "kernels (shard_map under --data-parallel) or "
                              "XLA (default)")
+    parser.add_argument("--augment", action="store_true", default=False,
+                        help="Device-side augmentation: random h-flip + "
+                             "brightness/contrast jitter (beyond-reference)")
     parser.add_argument("--device-preprocess", action="store_true", default=False,
                         help="Decode on host, resize/normalize on the TPU "
                              "(fast path; host PIL preprocess is the parity-exact default)")
@@ -461,6 +474,12 @@ def get_args(argv=None):
                         help="Write a jax.profiler trace to this directory")
     parser.add_argument("--debug-nans", action="store_true", default=False)
     return parser.parse_args(argv)
+
+
+def _default_augment():
+    from tpu_unet.data.augment import AugmentConfig
+
+    return AugmentConfig(hflip=True, brightness=0.1, contrast=0.1)
 
 
 def main(argv=None):
@@ -522,6 +541,7 @@ def main(argv=None):
             device_preprocess=args.device_preprocess,
             kernels=None if args.kernels == "xla" else args.kernels,
             spatial_parallel=args.spatial_parallel,
+            augment=_default_augment() if args.augment else None,
         )
 
     profiling = False
