@@ -118,6 +118,28 @@ def test_fused_concat_conv_matches_concat_path(rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-3, rtol=1e-3)
 
 
+@pytest.mark.parametrize("shape,cout", [((1, 16, 24, 8), 16), ((2, 13, 20, 16), 8)])
+def test_im2col_conv_matches_xla(rng, shape, cout):
+    """im2col formulation (K=9·Cin single matmul) ≡ XLA conv + scale/bias[+relu],
+    including odd H/W slab remainders."""
+    from tpu_unet.kernels.im2col_conv import im2col_conv3x3
+
+    x = jnp.asarray(rng.standard_normal(shape, dtype=np.float32))
+    w = jnp.asarray(rng.standard_normal((3, 3, shape[-1], cout), dtype=np.float32) * 0.1)
+    s = jnp.asarray(rng.standard_normal(cout, dtype=np.float32))
+    b = jnp.asarray(rng.standard_normal(cout, dtype=np.float32))
+    ref = conv2d(x, w, stride=1, padding=1) * s + b
+    with pltpu.force_tpu_interpret_mode():
+        out = im2col_conv3x3(x, w, s, b)
+        out_m = im2col_conv3x3(x, w, s, b, merged=True)
+        out_r = im2col_conv3x3(x, w, s, b, apply_relu=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(out_m), np.asarray(ref), atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(out_r), np.asarray(jax.nn.relu(ref)), atol=1e-4, rtol=1e-4
+    )
+
+
 def test_folded_pallas_inference_matches_xla():
     config = UNetConfig(3, 2, bilinear=True, base_channels=8)
     params, state = init_unet(jax.random.PRNGKey(0), config)
