@@ -118,3 +118,20 @@ def test_collate_preserves_uint8():
     assert collate(u8)["image"].dtype == np.uint8
     f64 = [{"image": np.zeros((4, 4, 3), np.float64), "mask": np.zeros((4, 4), np.int64)}]
     assert collate(f64)["image"].dtype == np.float32
+
+
+def test_dataset_ram_cache(tmp_path):
+    """cache=True: second access returns the identical cached sample without
+    re-decoding (file can disappear); cache off re-reads from disk."""
+    from tpu_unet.data import CarvanaDataset, make_synthetic_carvana
+
+    make_synthetic_carvana(tmp_path, n=2, h=16, w=24)
+    ds = CarvanaDataset(tmp_path / "imgs", tmp_path / "masks", scale=1.0, cache=True)
+    a = ds[0]
+    (tmp_path / "imgs" / "car_0000.png").unlink()  # prove no re-decode
+    b = ds[0]
+    assert a is b
+    np.testing.assert_array_equal(a["image"], b["image"])
+
+    ds2 = CarvanaDataset(tmp_path / "imgs", tmp_path / "masks", scale=1.0)
+    assert ds2[0] is not ds2[0]  # uncached path re-decodes each access

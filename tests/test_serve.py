@@ -97,8 +97,9 @@ def test_mixed_size_batch_matches_solo(predictor, rng):
     small, big = _img(rng, 32, 48), _img(rng, 48, 64)
     slots = [{}, {}]
     dones = [th.Event(), th.Event()]
+    t0 = __import__("time").monotonic()
     # Drive _run_batch directly so both sizes deterministically share a batch.
-    predictor._run_batch([(small, slots[0], dones[0]), (big, slots[1], dones[1])])
+    predictor._run_batch([(small, slots[0], dones[0], t0), (big, slots[1], dones[1], t0)])
     assert all(d.is_set() for d in dones)
     assert "error" not in slots[0] and "error" not in slots[1]
 
@@ -139,3 +140,39 @@ def test_serve_exported_artifact(tmp_path, rng):
             assert mask.shape == (h, w) and mask.dtype == bool
     finally:
         p.stop()
+
+
+def test_metrics_surface(predictor, rng):
+    """/metrics counters: requests recorded with latency percentiles and
+    dispatch batch occupancy after serving traffic."""
+    before = predictor.metrics.snapshot()
+    for _ in range(3):
+        predictor.predict_one(_img(rng))
+    snap = predictor.metrics.snapshot()
+    assert snap["requests"] >= before["requests"] + 3
+    assert snap["errors"] == before["errors"]  # no new errors from this traffic
+    assert set(snap["latency_ms"]) == {"p50", "p90", "p99"}
+    assert snap["latency_ms"]["p50"] > 0
+    assert snap["dispatch_batch_mean"] >= 1
+    assert snap["uptime_s"] >= 0
+
+
+def test_metrics_http_endpoint(predictor, rng):
+    import http.client
+    import json as _json
+    import threading as _threading
+    from http.server import ThreadingHTTPServer
+
+    server = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(predictor))
+    t = _threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        port = server.server_address[1]
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+        conn.request("GET", "/metrics")
+        resp = conn.getresponse()
+        assert resp.status == 200
+        snap = _json.loads(resp.read())
+        assert "requests" in snap and "errors" in snap
+    finally:
+        server.shutdown()

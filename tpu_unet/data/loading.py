@@ -75,12 +75,23 @@ class BasicDataset:
         scale: float = 1.0,
         mask_suffix: str = "",
         num_workers: int | None = None,
+        cache: bool = False,
     ):
         self.images_dir = Path(images_dir)
         self.mask_dir = Path(mask_dir)
         assert 0 < scale <= 1, "Scale must be between 0 and 1"
         self.scale = scale
         self.mask_suffix = mask_suffix
+        # Opt-in RAM cache of preprocessed samples (beyond-reference;
+        # `--cache-dataset`). Motivation, measured at the reference's
+        # training resolution (959×640): host PNG decode is ~300 ms/image
+        # and the reference's 5×-per-epoch validation re-decodes the whole
+        # val split every time, leaving the TPU >95% idle (1.55 img/s
+        # end-to-end vs 71 img/s device capability, BENCH_NOTES.md r2).
+        # Dict writes are GIL-atomic, so loader threads need no lock (a
+        # racing pair just decodes one sample twice). Samples are returned
+        # by reference — the train path never mutates batches.
+        self._cache: dict[int, dict] | None = {} if cache else None
 
         self.ids = [
             splitext(file)[0]
@@ -144,6 +155,8 @@ class BasicDataset:
             return img  # HWC (reference emits CHW; layout-only divergence)
 
     def __getitem__(self, idx):
+        if self._cache is not None and idx in self._cache:
+            return self._cache[idx]
         name = self.ids[idx]
         mask_file = list(self.mask_dir.glob(name + self.mask_suffix + ".*"))
         img_file = list(self.images_dir.glob(name + ".*"))
@@ -158,14 +171,18 @@ class BasicDataset:
 
         img = self.preprocess(self.mask_values, img, self.scale, is_mask=False)
         mask = self.preprocess(self.mask_values, mask, self.scale, is_mask=True)
-        return {"image": img, "mask": mask}
+        sample = {"image": img, "mask": mask}
+        if self._cache is not None:
+            self._cache[idx] = sample
+        return sample
 
 
 class CarvanaDataset(BasicDataset):
     """Carvana car-mask dataset: masks live next to images with `_mask` suffix."""
 
-    def __init__(self, images_dir, mask_dir, scale=1.0, num_workers=None):
-        super().__init__(images_dir, mask_dir, scale, mask_suffix="_mask", num_workers=num_workers)
+    def __init__(self, images_dir, mask_dir, scale=1.0, num_workers=None, cache=False):
+        super().__init__(images_dir, mask_dir, scale, mask_suffix="_mask",
+                         num_workers=num_workers, cache=cache)
 
 
 class RawDataset(BasicDataset):

@@ -14,6 +14,9 @@ Endpoints:
                   semantics: preprocess → forward → logit-upscale →
                   threshold/argmax → palette)
   GET  /healthz   liveness + model metadata JSON
+  GET  /metrics   serving observability JSON: request/error counts,
+                  end-to-end latency p50/p90/p99 (enqueue → mask ready,
+                  over a sliding window), mean dispatch batch occupancy
 
 Run: ``python -m tpu_unet.serve -m ckpt.npz --port 8000 [--kernels pallas]``
 """
@@ -28,6 +31,7 @@ import logging
 import queue
 import threading
 import time
+from collections import deque
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
@@ -42,6 +46,57 @@ from tpu_unet.ops import resize_bilinear
 from tpu_unet.predict import mask_to_image
 
 logger = logging.getLogger(__name__)
+
+
+class ServeMetrics:
+    """Sliding-window serving metrics (thread-safe, stdlib-only).
+
+    Latency is end-to-end per request: enqueue → mask ready (includes queue
+    wait, preprocess, device forward, and logit upscale). The first
+    request's jit compile lands in the window too — by design: that IS the
+    latency a caller saw.
+    """
+
+    def __init__(self, window: int = 2048):
+        self._lock = threading.Lock()
+        self._lat: "deque[float]" = deque(maxlen=window)
+        self._batch: "deque[int]" = deque(maxlen=window)
+        self.requests = 0
+        self.errors = 0
+        self.started = time.time()
+
+    def record(self, latency_s: float):
+        with self._lock:
+            self.requests += 1
+            self._lat.append(latency_s)
+
+    def record_error(self, n: int = 1):
+        with self._lock:
+            self.requests += n
+            self.errors += n
+
+    def record_dispatch(self, batch_size: int):
+        with self._lock:
+            self._batch.append(batch_size)
+
+    def snapshot(self) -> dict:
+        with self._lock:
+            lat = sorted(self._lat)
+            batches = list(self._batch)
+            out = {
+                "requests": self.requests,
+                "errors": self.errors,
+                "uptime_s": round(time.time() - self.started, 1),
+                "window": len(lat),
+            }
+        if lat:
+            # Nearest-rank quantile: ceil(p·n)−1 (so p50 of 2 samples is the
+            # lower one, not the max).
+            q = lambda p: round(lat[max(0, -(-int(p * 100) * len(lat) // 100) - 1)] * 1e3, 2)
+            out["latency_ms"] = {"p50": q(0.50), "p90": q(0.90), "p99": q(0.99)}
+        if batches:
+            out["dispatch_batch_mean"] = round(sum(batches) / len(batches), 2)
+        return out
 
 
 class BatchedPredictor:
@@ -80,6 +135,7 @@ class BatchedPredictor:
         self.timeout_s = timeout_s
         self._queue: queue.Queue = queue.Queue()
         self._stop = threading.Event()
+        self.metrics = ServeMetrics()
 
         if fwd is not None:
             pass  # exported-artifact forward, used as-is
@@ -116,7 +172,7 @@ class BatchedPredictor:
         """
         done = threading.Event()
         slot: dict = {}
-        self._queue.put((img, slot, done))
+        self._queue.put((img, slot, done, time.monotonic()))
         if not done.wait(self.timeout_s if timeout is None else timeout):
             raise TimeoutError("prediction timed out")
         if "error" in slot:
@@ -158,7 +214,7 @@ class BatchedPredictor:
 
     def _run_batch(self, batch):
         try:
-            pre = [self._preprocess(img) for img, _, _ in batch]
+            pre = [self._preprocess(img) for img, _, _, _ in batch]
             # Group by preprocessed (H, W): zero-padding a smaller image onto
             # a larger canvas shifts its pool/upsample grid alignment, so its
             # mask near the pad boundary would diverge from a solo prediction.
@@ -169,12 +225,13 @@ class BatchedPredictor:
             for k, p in enumerate(pre):
                 groups.setdefault(p.shape[:2], []).append(k)
             for (h, w), idxs in groups.items():
+                self.metrics.record_dispatch(len(idxs))
                 x = np.zeros((self.max_batch, h, w, pre[0].shape[-1]), np.float32)
                 for j, k in enumerate(idxs):
                     x[j] = pre[k]
                 logits = self._fwd(jnp.asarray(x))
                 for j, k in enumerate(idxs):
-                    img, slot, done = batch[k]
+                    img, slot, done, t_enq = batch[k]
                     full_w, full_h = img.size
                     lg = resize_bilinear(
                         logits[j : j + 1], full_h, full_w, align_corners=False
@@ -184,10 +241,12 @@ class BatchedPredictor:
                     else:
                         mask = np.asarray(jax.nn.sigmoid(lg[0, ..., 0]) > self.threshold)
                     slot["mask"] = mask
+                    self.metrics.record(time.monotonic() - t_enq)
                     done.set()
         except Exception as e:  # propagate to every waiter in the batch
             logger.exception("batch failed")
-            for _, slot, done in batch:
+            self.metrics.record_error(len(batch))
+            for _, slot, done, _ in batch:
                 slot["error"] = str(e)
                 done.set()
 
@@ -202,15 +261,19 @@ def make_handler(predictor: BatchedPredictor):
             logger.debug(fmt, *args)
 
         def do_GET(self):
-            if self.path != "/healthz":
+            if self.path == "/healthz":
+                payload = {
+                    "status": "ok",
+                    "n_classes": predictor.config.n_classes,
+                    "arch": predictor.config.arch,
+                    "scale": predictor.scale,
+                }
+            elif self.path == "/metrics":
+                payload = predictor.metrics.snapshot()
+            else:
                 self.send_error(404)
                 return
-            body = json.dumps({
-                "status": "ok",
-                "n_classes": predictor.config.n_classes,
-                "arch": predictor.config.arch,
-                "scale": predictor.scale,
-            }).encode()
+            body = json.dumps(payload).encode()
             self.send_response(200)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(body)))

@@ -462,6 +462,13 @@ def get_args(argv=None):
     parser.add_argument("--augment", action="store_true", default=False,
                         help="Device-side augmentation: random h-flip + "
                              "brightness/contrast jitter (beyond-reference)")
+    parser.add_argument("--cache-dataset", action="store_true", default=False,
+                        help="RAM-cache preprocessed samples after first "
+                             "decode (beyond-reference). At 959x640 host "
+                             "PNG decode is ~300ms/image and the 5x/epoch "
+                             "validation re-decodes the val split every "
+                             "time, leaving the TPU >95%% idle "
+                             "(BENCH_NOTES.md r2)")
     parser.add_argument("--device-preprocess", action="store_true", default=False,
                         help="Decode on host, resize/normalize on the TPU "
                              "(fast path; host PIL preprocess is the parity-exact default)")
@@ -518,9 +525,11 @@ def main(argv=None):
             dataset = RawDataset(data_dir / "imgs", data_dir / "masks", args.scale)
     else:
         try:
-            dataset = CarvanaDataset(data_dir / "imgs", data_dir / "masks", args.scale)
+            dataset = CarvanaDataset(data_dir / "imgs", data_dir / "masks", args.scale,
+                                     cache=args.cache_dataset)
         except (AssertionError, RuntimeError, IndexError):
-            dataset = BasicDataset(data_dir / "imgs", data_dir / "masks", args.scale)
+            dataset = BasicDataset(data_dir / "imgs", data_dir / "masks", args.scale,
+                                   cache=args.cache_dataset)
 
     def run(remat: bool):
         return train_model(
