@@ -42,7 +42,8 @@ PRESETS = {
 }
 
 
-def run(preset: str = "full", data_dir: str | None = None) -> dict:
+def run(preset: str = "full", data_dir: str | None = None,
+        device_data: bool | None = None) -> dict:
     from tpu_unet.data import CarvanaDataset, make_synthetic_carvana
     from tpu_unet.evaluate import evaluate
     from tpu_unet.models import UNetConfig, init_unet
@@ -59,11 +60,16 @@ def run(preset: str = "full", data_dir: str | None = None) -> dict:
     config = UNetConfig(n_channels=3, n_classes=1, bilinear=False, base_channels=bc)
     params, state = init_unet(jax.random.PRNGKey(0), config)
 
+    if device_data is None:
+        # On the real chip the host pipeline is H2D-bound through the relay
+        # (BENCH_NOTES.md r2); the device-resident path is bit-exact vs the
+        # host loader (tests/test_device_dataset.py), so results match.
+        device_data = jax.default_backend() != "cpu"
     t0 = time.time()
     params, state, hist = train_model(
         params, state, config, dataset=ds, epochs=epochs, batch_size=batch,
         learning_rate=lr, val_percent=1 / 6, save_checkpoint_flag=False,
-        amp=jax.default_backend() != "cpu", seed=0,
+        amp=jax.default_backend() != "cpu", seed=0, device_dataset=device_data,
     )
     wall = time.time() - t0
 

@@ -29,10 +29,13 @@ def collate(samples: Sequence[dict]) -> dict[str, np.ndarray]:
     imgs = np.stack([s["image"] for s in samples])
     if imgs.dtype != np.uint8:
         imgs = imgs.astype(np.float32)
-    return {
-        "image": imgs,
-        "mask": np.stack([s["mask"] for s in samples]),
-    }
+    masks = np.stack([s["mask"] for s in samples])
+    if masks.dtype == np.int64:
+        # Class indices are tiny; int64 doubles the H2D bytes for nothing
+        # (measured: the relay tunnel's H2D bandwidth binds end-to-end
+        # training at 959×640 — BENCH_NOTES.md r2). int32 is value-exact.
+        masks = masks.astype(np.int32)
+    return {"image": imgs, "mask": masks}
 
 
 class DataLoader:

