@@ -55,12 +55,43 @@ def test_cli_device_dataset_e2e(tmp_path, monkeypatch):
     assert (tmp_path / "ckpts" / "checkpoint_epoch1.npz").exists()
 
 
-def test_device_dataset_excludes_dp(ds):
+def test_sharded_corpus_batches_match_host(ds):
+    """DP mode: corpus rows sharded over the 8-device mesh, gather under
+    GSPMD (out batch sharded on 'data') — values still bit-identical to the
+    host DataLoader, and the output carries the requested sharding."""
+    from tpu_unet.parallel.mesh import batch_sharding, image_sharding, make_mesh
+
+    mesh = make_mesh()
+    assert len(jax.devices()) == 8  # conftest provisions the virtual mesh
+    dd = DeviceResidentData(
+        ds, data_sharding=batch_sharding(mesh), out_sharding=image_sharding(mesh)
+    )
+    idx = list(range(len(ds)))
+    host = DataLoader(ds, 8, shuffle=True, indices=idx, seed=5, drop_last=True)
+    dev = dd.batches(idx, 8, shuffle=True, seed=5, drop_last=True)
+    for hb, db in zip(host, dev, strict=True):
+        np.testing.assert_array_equal(hb["image"], np.asarray(db["image"]))
+        np.testing.assert_array_equal(hb["mask"], np.asarray(db["mask"]))
+        assert db["image"].sharding.is_equivalent_to(
+            image_sharding(mesh), db["image"].ndim
+        )
+
+
+def test_device_dataset_dp_train_step_matches_single(ds):
+    """One DP train epoch fed by the sharded device-resident corpus equals
+    the single-device host-pipeline epoch (same global batch, global BN)."""
     from tpu_unet.models import UNetConfig, init_unet
     from tpu_unet.train import train_model
 
-    config = UNetConfig(3, 1, base_channels=8)
+    config = UNetConfig(3, 1, bilinear=True, base_channels=8)
+    kw = dict(dataset=ds, epochs=1, batch_size=8, learning_rate=1e-3,
+              val_percent=0.2, save_checkpoint_flag=False, seed=0)
+    # Fresh params per run: the fused train step donates its buffers.
     params, state = init_unet(jax.random.PRNGKey(0), config)
-    with pytest.raises(ValueError, match="single-device"):
-        train_model(params, state, config, dataset=ds, epochs=1, batch_size=2,
-                    learning_rate=1e-3, device_dataset=True, data_parallel=True)
+    _, _, hist_dp = train_model(params, state, config, device_dataset=True,
+                                data_parallel=True, **kw)
+    params, state = init_unet(jax.random.PRNGKey(0), config)
+    _, _, hist_1d = train_model(params, state, config, **kw)
+    np.testing.assert_allclose(
+        hist_dp["train_loss"], hist_1d["train_loss"], rtol=2e-5
+    )

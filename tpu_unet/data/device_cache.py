@@ -20,9 +20,13 @@ stage falls back to float32 with a log line. ``uint8/255`` on device is
 then bit-identical to the host float pipeline. Masks stage as uint8
 (class indices; requires < 256 classes) and are served as int32.
 
-Single-device by design (the DP trainer keeps the host pipeline — a
-sharded-resident variant would need the cache itself laid out over the
-mesh). Usage: ``train.py --device-dataset`` or ``DeviceResidentData(ds)``.
+Multi-chip: pass ``data_sharding`` (corpus rows laid out over the mesh's
+'data' axis) and ``out_sharding`` (the trainer's batch sharding) — the
+jitted gather then runs under GSPMD and XLA inserts the all-to-all that
+routes each shuffled sample to the device that owns its batch slot. On a
+real pod this matters even more than single-chip: one host pipe feeding N
+chips is N× more input-bound. Usage: ``train.py --device-dataset``
+(composes with ``--data-parallel``) or ``DeviceResidentData(ds)``.
 """
 
 from __future__ import annotations
@@ -93,9 +97,17 @@ class _Batches:
 
 
 class DeviceResidentData:
-    """Stage ``dataset`` (already-preprocessed samples) into HBM once."""
+    """Stage ``dataset`` (already-preprocessed samples) into HBM once.
 
-    def __init__(self, dataset, num_workers: int = 8):
+    ``data_sharding``: optional NamedSharding laying the corpus rows over
+    the mesh (rows are padded to a multiple of the shard count; pad rows
+    are never indexed). ``out_sharding``: optional batch sharding for the
+    gathered output — makes the gather a GSPMD program whose result feeds
+    the DP train step directly.
+    """
+
+    def __init__(self, dataset, num_workers: int = 8,
+                 data_sharding=None, out_sharding=None):
         n = len(dataset)
         first = dataset[0]
         h, w, c = first["image"].shape
@@ -112,19 +124,31 @@ class DeviceResidentData:
 
         assert masks_i.max() < 256, "device-resident masks stage as uint8 (<256 classes)"
         u8 = np.rint(imgs * 255.0)
-        if np.array_equal(u8 / 255.0, imgs):
-            self._images = jnp.asarray(u8.astype(np.uint8))
-            self._gather = _gather_u8
-            kind = "uint8"
-        else:  # float sources that never hit the /255 rule: stage exactly
-            self._images = jnp.asarray(imgs)
-            self._gather = _gather_f32
-            kind = "float32"
-        self._masks = jnp.asarray(masks_i.astype(np.uint8))
+        exact = np.array_equal(u8 / 255.0, imgs)
+        stage_imgs = u8.astype(np.uint8) if exact else imgs
+        stage_masks = masks_i.astype(np.uint8)
+        if data_sharding is not None:
+            shards = int(np.prod(list(data_sharding.mesh.shape.values())))
+            pad = (-n) % shards
+            if pad:
+                stage_imgs = np.concatenate([stage_imgs, stage_imgs[:pad]])
+                stage_masks = np.concatenate([stage_masks, stage_masks[:pad]])
+            self._images = jax.device_put(stage_imgs, data_sharding)
+            self._masks = jax.device_put(stage_masks, data_sharding)
+        else:
+            self._images = jnp.asarray(stage_imgs)
+            self._masks = jnp.asarray(stage_masks)
+        base = _gather_u8.__wrapped__ if exact else _gather_f32.__wrapped__
+        if out_sharding is not None:
+            self._gather = jax.jit(base, out_shardings=(out_sharding, out_sharding))
+        else:
+            self._gather = _gather_u8 if exact else _gather_f32
         mb = self._images.nbytes / 1e6 + self._masks.nbytes / 1e6
         logger.info(
             "Device-resident dataset: %d samples %dx%d staged to HBM "
-            "(%.0f MB as %s)", n, h, w, mb, kind,
+            "(%.0f MB as %s%s)", n, h, w, mb,
+            "uint8" if exact else "float32",
+            ", sharded" if data_sharding is not None else "",
         )
 
     def batches(self, indices: Sequence[int], batch_size: int, *,

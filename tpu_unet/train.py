@@ -190,43 +190,10 @@ def train_model(
     train_idx, val_idx = random_split_indices(len(dataset), val_percent, seed=seed)
     n_train, n_val = len(train_idx), len(val_idx)
 
-    # 3. Data loaders: host decode threads + device double-buffer prefetch.
-    if device_dataset:
-        # Whole corpus resident in HBM; per-step H2D is the index vector
-        # (data/device_cache.py — the input pipeline at device speed).
-        if device_preprocess:
-            raise ValueError("--device-dataset already preprocesses on host once; "
-                             "it is mutually exclusive with --device-preprocess")
-        if data_parallel:
-            raise ValueError("--device-dataset is single-device (the DP trainer "
-                             "keeps the host pipeline)")
-        from tpu_unet.data.device_cache import DeviceResidentData
-
-        dd = DeviceResidentData(dataset)
-        train_loader = dd.batches(train_idx, batch_size, shuffle=True, seed=seed)
-        val_loader = dd.batches(val_idx, batch_size)
-    else:
-        train_loader = DataLoader(
-            dataset, batch_size, shuffle=True, indices=train_idx, seed=seed,
-            drop_last=data_parallel,  # static sharded shapes under DP
-        )
-        val_loader = DataLoader(dataset, batch_size, shuffle=False, indices=val_idx)
-    if device_preprocess:
-        # North-star fast path: host decodes uint8 only; resize/normalize/
-        # palette-index run on device (data/device_pipeline.py).
-        from tpu_unet.data.device_pipeline import DevicePipeline
-
-        def wrap(loader):
-            return DevicePipeline(
-                loader, dataset.mask_values, dataset.scale,
-                dataset.raw_h, dataset.raw_w,
-            )
-
-        train_loader = wrap(train_loader)
-        val_loader = wrap(val_loader)
-
+    # Mesh first (the device-resident dataset stages onto it).
     sharding = None
     step_mesh = None
+    mesh = None
     if data_parallel and jax.device_count() > 1:
         if spatial_parallel > 1:
             # 2-D dp×sp GSPMD: batch over 'data', image height over
@@ -251,6 +218,46 @@ def train_model(
             # kernels on its local batch shard, BN stat sums are psum'd
             # (global-batch stats, same semantics as the GSPMD XLA path).
             step_mesh = mesh
+
+    # 3. Data loaders: host decode threads + device double-buffer prefetch,
+    # or the HBM-resident corpus (per-step H2D = the index vector).
+    if device_dataset:
+        if device_preprocess:
+            raise ValueError("--device-dataset already preprocesses on host once; "
+                             "it is mutually exclusive with --device-preprocess")
+        from tpu_unet.data.device_cache import DeviceResidentData
+
+        dd = DeviceResidentData(
+            dataset,
+            # Under DP the corpus rows live sharded over the mesh and the
+            # gather is a GSPMD program whose output batch is already laid
+            # out for the train step (XLA inserts the sample->slot
+            # all-to-all).
+            data_sharding=batch_sharding(mesh) if mesh is not None else None,
+            out_sharding=sharding,
+        )
+        train_loader = dd.batches(train_idx, batch_size, shuffle=True, seed=seed,
+                                  drop_last=data_parallel)
+        val_loader = dd.batches(val_idx, batch_size)
+    else:
+        train_loader = DataLoader(
+            dataset, batch_size, shuffle=True, indices=train_idx, seed=seed,
+            drop_last=data_parallel,  # static sharded shapes under DP
+        )
+        val_loader = DataLoader(dataset, batch_size, shuffle=False, indices=val_idx)
+    if device_preprocess:
+        # North-star fast path: host decodes uint8 only; resize/normalize/
+        # palette-index run on device (data/device_pipeline.py).
+        from tpu_unet.data.device_pipeline import DevicePipeline
+
+        def wrap(loader):
+            return DevicePipeline(
+                loader, dataset.mask_values, dataset.scale,
+                dataset.raw_h, dataset.raw_w,
+            )
+
+        train_loader = wrap(train_loader)
+        val_loader = wrap(val_loader)
 
     experiment = None
     if use_wandb:
@@ -486,8 +493,9 @@ def get_args(argv=None):
                         help="Stage the whole (preprocessed) corpus to HBM "
                              "as uint8 and gather batches on device — "
                              "per-step H2D shrinks to the index vector. "
-                             "Single-device; corpus must fit HBM (Carvana "
-                             "at scale .5 is ~3 GB vs 16 GB)")
+                             "Corpus must fit HBM (Carvana at scale .5 is "
+                             "~3 GB vs 16 GB); under --data-parallel the "
+                             "corpus rows are sharded over the mesh")
     parser.add_argument("--cache-dataset", action="store_true", default=False,
                         help="RAM-cache preprocessed samples after first "
                              "decode (beyond-reference). At 959x640 host "
