@@ -176,3 +176,12 @@ def test_metrics_http_endpoint(predictor, rng):
         assert "requests" in snap and "errors" in snap
     finally:
         server.shutdown()
+
+
+def test_warmup_precompiles_and_resets_cleanly(predictor, rng):
+    """warmup() runs the full path on a dummy image and returns wall time;
+    subsequent real requests work unchanged."""
+    dt = predictor.warmup(48, 64)
+    assert dt > 0
+    mask = predictor.predict_one(_img(rng))
+    assert mask.shape == (48, 64)

@@ -250,6 +250,16 @@ class BatchedPredictor:
                 slot["error"] = str(e)
                 done.set()
 
+    def warmup(self, height: int, width: int) -> float:
+        """Push one dummy image through the full path (preprocess → batch →
+        jit forward → upscale) so the compile happens before real traffic.
+        Returns the wall seconds spent (≈ compile time on a cold chip)."""
+        t0 = time.monotonic()
+        self.predict_one(Image.new("RGB", (width, height)))
+        dt = time.monotonic() - t0
+        logger.info("Warmup %dx%d done in %.1f s", height, width, dt)
+        return dt
+
     def stop(self):
         self._stop.set()
         self._worker.join(timeout=2)
@@ -319,7 +329,14 @@ def main(argv=None):
     p.add_argument("--kernels", choices=["xla", "pallas"], default=None)
     p.add_argument("--timeout-s", type=float, default=300.0,
                    help="Per-request wait bound; must cover the first "
-                        "request's jit compile on a cold chip")
+                        "request's jit compile on a cold chip (or use "
+                        "--warmup so no request ever pays it)")
+    p.add_argument("--warmup", type=str, default=None, metavar="HxW",
+                   help="Run one dummy request at this raw image size "
+                        "before accepting traffic, so the jit compile "
+                        "happens at startup instead of on the first real "
+                        "request (e.g. 1280x1918 for Carvana). Artifact "
+                        "mode warms automatically at its static shape.")
     args = p.parse_args(argv)
     logging.basicConfig(level=logging.INFO, format="%(levelname)s: %(message)s")
 
@@ -348,6 +365,10 @@ def main(argv=None):
             timeout_s=args.timeout_s,
             fwd=exported.call, static_hw=(int(h_a), int(w_a)),
         )
+        # The artifact's input shape is static and known — always pre-compile
+        # so the first real request never pays the cold start.
+        predictor.warmup(int(h_a), int(w_a))
+        predictor.metrics = ServeMetrics()  # warmup shouldn't skew p99
         server = ThreadingHTTPServer((args.host, args.port), make_handler(predictor))
         logger.info(
             "Serving artifact %s on %s:%d (static %dx%d, %d classes)",
@@ -380,6 +401,10 @@ def main(argv=None):
         max_batch=args.max_batch, batch_window_ms=args.batch_window_ms,
         kernels=args.kernels, timeout_s=args.timeout_s,
     )
+    if args.warmup:
+        h_r, w_r = (int(v) for v in args.warmup.lower().split("x"))
+        predictor.warmup(h_r, w_r)
+        predictor.metrics = ServeMetrics()  # warmup shouldn't skew p99
     server = ThreadingHTTPServer((args.host, args.port), make_handler(predictor))
     logger.info("Serving on %s:%d (max_batch=%d)", args.host, args.port, args.max_batch)
     try:
