@@ -185,3 +185,31 @@ def test_warmup_precompiles_and_resets_cleanly(predictor, rng):
     assert dt > 0
     mask = predictor.predict_one(_img(rng))
     assert mask.shape == (48, 64)
+
+
+def test_tiled_serving_matches_full(rng):
+    """--tile serving: a large 16-aligned request goes through the exact
+    tiled sweep and equals the full-image prediction; a small request in
+    the same server falls back to the full-image path."""
+    from tpu_unet.predict import predict_img
+
+    config = UNetConfig(3, 2, bilinear=True, base_channels=4)
+    params, state = init_unet(jax.random.PRNGKey(1), config)
+    p = BatchedPredictor(
+        params, state, config, [0, 128, 255],
+        scale=1.0, amp=False, max_batch=2, batch_window_ms=5.0,
+        tile=128, halo=128,
+    )
+    try:
+        big = _img(rng, 384, 384)       # meets the exactness contract
+        small = _img(rng, 48, 64)       # falls back to full-image
+        m_big = p.predict_one(big, timeout=600)
+        m_small = p.predict_one(small, timeout=600)
+        np.testing.assert_array_equal(
+            m_big, predict_img(params, state, config, big, scale_factor=1.0)
+        )
+        np.testing.assert_array_equal(
+            m_small, predict_img(params, state, config, small, scale_factor=1.0)
+        )
+    finally:
+        p.stop()

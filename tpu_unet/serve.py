@@ -118,6 +118,8 @@ class BatchedPredictor:
         timeout_s: float = 300.0,
         fwd=None,
         static_hw: tuple[int, int] | None = None,
+        tile: int | None = None,
+        halo: int = 128,
     ):
         """``fwd``/``static_hw`` serve a pre-compiled artifact (export.py):
         ``fwd`` is called instead of building a model from params/state, and
@@ -137,6 +139,9 @@ class BatchedPredictor:
         self._stop = threading.Event()
         self.metrics = ServeMetrics()
 
+        if tile and (fwd is not None or kernels):
+            raise ValueError("--tile serving requires the default XLA "
+                             "checkpoint path (not artifact/pallas mode)")
         if fwd is not None:
             pass  # exported-artifact forward, used as-is
         elif kernels:
@@ -159,6 +164,22 @@ class BatchedPredictor:
                 return logits
 
         self._fwd = fwd
+        self.tile, self.halo = tile, halo
+        if tile:
+            # Large-image path: exact tiled sweep (one dispatch, peak HBM
+            # O(window) not O(image) — parallel/tiling.py). Used per request
+            # group when the preprocessed shape meets the exactness contract
+            # (16-aligned, >= tile + 2·halo); smaller images keep the
+            # full-image forward. Mode exclusivity checked above.
+            from tpu_unet.parallel.tiling import tiled_forward
+
+            def fwd_tiled(x):
+                return tiled_forward(
+                    params, state, x, config=config, tile=tile, halo=halo,
+                    amp=amp,
+                )
+
+            self._fwd_tiled = fwd_tiled
         self._worker = threading.Thread(target=self._loop, daemon=True)
         self._worker.start()
 
@@ -226,10 +247,20 @@ class BatchedPredictor:
                 groups.setdefault(p.shape[:2], []).append(k)
             for (h, w), idxs in groups.items():
                 self.metrics.record_dispatch(len(idxs))
-                x = np.zeros((self.max_batch, h, w, pre[0].shape[-1]), np.float32)
+                # Canvas = next power of two ≥ group size: at most
+                # log2(max_batch)+1 jit variants per shape, instead of always
+                # computing max_batch images (8× waste for a lone large
+                # request — measured 1.26 s for one 1024² tiled request on a
+                # full 8-canvas).
+                bsz = min(self.max_batch, 1 << max(0, len(idxs) - 1).bit_length())
+                x = np.zeros((bsz, h, w, pre[0].shape[-1]), np.float32)
                 for j, k in enumerate(idxs):
                     x[j] = pre[k]
-                logits = self._fwd(jnp.asarray(x))
+                fwd = self._fwd
+                if (self.tile and h % 16 == 0 and w % 16 == 0
+                        and self.tile + 2 * self.halo <= min(h, w)):
+                    fwd = self._fwd_tiled
+                logits = fwd(jnp.asarray(x))
                 for j, k in enumerate(idxs):
                     img, slot, done, t_enq = batch[k]
                     full_w, full_h = img.size
@@ -331,6 +362,14 @@ def main(argv=None):
                    help="Per-request wait bound; must cover the first "
                         "request's jit compile on a cold chip (or use "
                         "--warmup so no request ever pays it)")
+    p.add_argument("--tile", type=int, default=None,
+                   help="Serve large images through the exact one-dispatch "
+                        "tiled sweep (peak HBM O(window), not O(image)); "
+                        "applies per request when the preprocessed shape "
+                        "meets the exactness contract, else full-image")
+    p.add_argument("--halo", type=int, default=128,
+                   help="Tile overlap; must exceed the receptive field "
+                        "(110 px) for exact stitching")
     p.add_argument("--warmup", type=str, default=None, metavar="HxW",
                    help="Run one dummy request at this raw image size "
                         "before accepting traffic, so the jit compile "
@@ -400,6 +439,7 @@ def main(argv=None):
         scale=args.scale, threshold=args.mask_threshold, amp=args.amp,
         max_batch=args.max_batch, batch_window_ms=args.batch_window_ms,
         kernels=args.kernels, timeout_s=args.timeout_s,
+        tile=args.tile, halo=args.halo,
     )
     if args.warmup:
         h_r, w_r = (int(v) for v in args.warmup.lower().split("x"))
