@@ -100,3 +100,12 @@ def test_bf16_compute_close_to_fp32():
     )
     assert amp.dtype == jnp.float32
     np.testing.assert_allclose(np.asarray(full), np.asarray(amp), atol=0.15, rtol=0.1)
+
+
+def test_unetpp_rejects_pallas_kernels():
+    """--kernels pallas with --arch unetpp must refuse, not silently run XLA."""
+    config = UNetConfig(3, 1, bilinear=True, base_channels=8, arch="unetpp")
+    params, state = init_unet(jax.random.PRNGKey(0), config)
+    x = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    with pytest.raises(ValueError, match="unetpp"):
+        unet_apply(params, state, x, config=config, train=True, kernels="pallas")

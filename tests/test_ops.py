@@ -114,3 +114,16 @@ def test_batch_norm_train_and_eval_match_torch(rng):
     out_t = bn_t(nchw(x))
     out_j, _ = batch_norm(jnp.asarray(x), params, new_state, train=False)
     np.testing.assert_allclose(np.asarray(out_j), to_nhwc(out_t), atol=1e-4, rtol=1e-4)
+
+
+def test_bn_near_constant_channel_no_nan():
+    """One-pass E[x^2]-E[x]^2 variance must clamp to >=0: a near-constant
+    channel with |mean| >> sigma can cancel slightly negative in fp32 and
+    rsqrt would NaN the whole step."""
+    from tpu_unet.ops import batch_norm, init_bn_params, init_bn_state
+
+    x = jnp.full((4, 37, 53, 8), 5.0, jnp.float32)
+    x = x + jnp.linspace(0, 1e-6, x.size).reshape(x.shape)  # epsilon jitter
+    y, st = batch_norm(x, init_bn_params(8), init_bn_state(8), train=True)
+    assert np.isfinite(np.asarray(y)).all()
+    assert np.isfinite(np.asarray(st.var)).all() and (np.asarray(st.var) >= 0).all()

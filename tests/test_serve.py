@@ -213,3 +213,39 @@ def test_tiled_serving_matches_full(rng):
         )
     finally:
         p.stop()
+
+
+def test_pinned_batch_artifact_serves_single_request(tmp_path, rng):
+    """An artifact exported with a PINNED batch must be served with a
+    fixed-size canvas: one request (and warmup) still works because the
+    canvas is always the pinned batch, not pow2(group size)."""
+    from tpu_unet.export import export_infer, load_exported, save_exported
+
+    config = UNetConfig(3, 1, bilinear=True, base_channels=8)
+    params, state = init_unet(jax.random.PRNGKey(0), config)
+    exported = export_infer(
+        params, state, config, height=48, width=64, batch=4, amp=False,
+        platforms=("cpu",),
+    )
+    path = tmp_path / "pinned.jaxexp"
+    save_exported(exported, path)
+    reloaded = load_exported(path)
+
+    p = BatchedPredictor(
+        None, None, config, [0, 255],
+        amp=False, max_batch=4, batch_window_ms=5.0,
+        fwd=reloaded.call, static_hw=(48, 64), fixed_batch=4,
+    )
+    try:
+        p.warmup(48, 64)
+        mask = p.predict_one(_img(rng, 48, 64))
+        assert mask.shape == (48, 64)
+    finally:
+        p.stop()
+
+
+def test_tile_halo_alignment_validated_at_startup():
+    config = UNetConfig(3, 1, bilinear=True, base_channels=8)
+    params, state = init_unet(jax.random.PRNGKey(0), config)
+    with pytest.raises(ValueError, match="multiples of 16"):
+        BatchedPredictor(params, state, config, [0, 255], tile=512, halo=120)

@@ -123,9 +123,21 @@ class DeviceResidentData:
             list(pool.map(fill, range(n)))
 
         assert masks_i.max() < 256, "device-resident masks stage as uint8 (<256 classes)"
-        u8 = np.rint(imgs * 255.0)
-        exact = np.array_equal(u8 / 255.0, imgs)
-        stage_imgs = u8.astype(np.uint8) if exact else imgs
+        # Chunked uint8 round-trip check: a whole-corpus np.rint(imgs*255)
+        # plus its /255 comparison would hold TWO extra float copies of the
+        # corpus (~3× host RAM at Carvana scale, ~28 GB); 64-sample slabs
+        # keep the transient O(slab).
+        u8 = np.empty(imgs.shape, np.uint8)
+        exact = True
+        for lo in range(0, n, 64):
+            sl = imgs[lo : lo + 64]
+            r = np.rint(sl * 255.0)
+            if not np.array_equal(r / 255.0, sl):
+                exact = False
+                break
+            u8[lo : lo + 64] = r.astype(np.uint8)
+        stage_imgs = u8 if exact else imgs
+        del u8
         stage_masks = masks_i.astype(np.uint8)
         if data_sharding is not None:
             shards = int(np.prod(list(data_sharding.mesh.shape.values())))

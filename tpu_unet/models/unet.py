@@ -217,6 +217,13 @@ def unet_apply(
     stat sums for global-batch BN semantics.
     """
     if config.arch == "unetpp":
+        if kernels:
+            # Refuse rather than silently run XLA: the fused Pallas tier is
+            # wired for the flagship U-Net's block layout only, and a user
+            # benchmarking `--arch unetpp --kernels pallas` must not draw
+            # conclusions from the wrong backend.
+            raise ValueError("kernels='pallas' is not implemented for "
+                             "arch='unetpp'; use the default XLA backend")
         from tpu_unet.models.unetpp import unetpp_apply
 
         return unetpp_apply(

@@ -79,7 +79,10 @@ def batch_norm(
             s2 = jax.lax.psum(s2, axis_name)
             n = n * jax.lax.psum(1, axis_name)
         mean = s1 / n
-        var = s2 / n - jnp.square(mean)
+        # Clamp: fp32 cancellation in E[x²]−E[x]² can dip slightly negative
+        # for near-constant channels with |mean| >> σ, and rsqrt(var+eps)
+        # would then produce NaN. The max fuses into the same elementwise op.
+        var = jnp.maximum(s2 / n - jnp.square(mean), 0.0)
         # Unbiased variance for the running buffer (torch semantics).
         unbiased = var * (n / max(n - 1, 1))
         new_state = BNState(

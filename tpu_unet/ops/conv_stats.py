@@ -159,7 +159,9 @@ def double_conv_train_fused(
         if axis_name is not None:
             s = lax.psum(s, axis_name)
         mean = s[0] / m
-        var = s[1] / m - mean * mean
+        # Clamped like ops/batchnorm.py: fp32 cancellation can dip slightly
+        # negative for near-constant channels, and rsqrt would NaN.
+        var = jnp.maximum(s[1] / m - mean * mean, 0.0)
         return mean, var
 
     conv1 = conv_stats_raw if input_needs_grad else conv_stats_raw_nodx

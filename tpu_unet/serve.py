@@ -118,6 +118,7 @@ class BatchedPredictor:
         timeout_s: float = 300.0,
         fwd=None,
         static_hw: tuple[int, int] | None = None,
+        fixed_batch: int | None = None,
         tile: int | None = None,
         halo: int = 128,
     ):
@@ -128,6 +129,16 @@ class BatchedPredictor:
         returned at each request's original resolution via logit upscale)."""
         self.config = config
         self.static_hw = static_hw
+        # Artifacts exported with a pinned batch accept exactly ONE batch
+        # shape — every canvas must be that size (the pow-2 right-sizing
+        # below would otherwise feed them shapes they reject).
+        self.fixed_batch = fixed_batch
+        if tile is not None and (tile % 16 or halo % 16):
+            # The tiler's exactness contract needs 16-aligned window starts
+            # (parallel/tiling.py::_check_alignment); catching it here keeps
+            # a misconfigured server from 500-ing every large request later.
+            raise ValueError(f"--tile/--halo must be multiples of 16 "
+                             f"(got tile={tile}, halo={halo})")
         self.mask_values = mask_values or ([0, 1] if config.n_classes == 1 else list(range(config.n_classes)))
         self.scale = scale
         self.threshold = threshold
@@ -251,8 +262,12 @@ class BatchedPredictor:
                 # log2(max_batch)+1 jit variants per shape, instead of always
                 # computing max_batch images (8× waste for a lone large
                 # request — measured 1.26 s for one 1024² tiled request on a
-                # full 8-canvas).
-                bsz = min(self.max_batch, 1 << max(0, len(idxs) - 1).bit_length())
+                # full 8-canvas). Pinned-batch artifacts accept exactly one
+                # batch shape, so their canvas stays fixed.
+                if self.fixed_batch is not None:
+                    bsz = self.fixed_batch
+                else:
+                    bsz = min(self.max_batch, 1 << max(0, len(idxs) - 1).bit_length())
                 x = np.zeros((bsz, h, w, pre[0].shape[-1]), np.float32)
                 for j, k in enumerate(idxs):
                     x[j] = pre[k]
@@ -284,9 +299,14 @@ class BatchedPredictor:
     def warmup(self, height: int, width: int) -> float:
         """Push one dummy image through the full path (preprocess → batch →
         jit forward → upscale) so the compile happens before real traffic.
-        Returns the wall seconds spent (≈ compile time on a cold chip)."""
+        Returns the wall seconds spent (≈ compile time on a cold chip).
+
+        Uses its own generous wait bound: the cold compile (~10 min through
+        the remote-compile tunnel) is exactly what warmup absorbs, so the
+        per-request --timeout-s must not cut it short."""
         t0 = time.monotonic()
-        self.predict_one(Image.new("RGB", (width, height)))
+        self.predict_one(Image.new("RGB", (width, height)),
+                         timeout=max(self.timeout_s, 1800.0))
         dt = time.monotonic() - t0
         logger.info("Warmup %dx%d done in %.1f s", height, width, dt)
         return dt
@@ -326,9 +346,22 @@ def make_handler(predictor: BatchedPredictor):
                 self.send_error(404)
                 return
             try:
-                length = int(self.headers.get("Content-Length", 0))
-                img = Image.open(io.BytesIO(self.rfile.read(length)))
-                mask = predictor.predict_one(img)
+                try:
+                    length = int(self.headers.get("Content-Length", 0))
+                    img = Image.open(io.BytesIO(self.rfile.read(length)))
+                except Exception:
+                    # Decode failures never reach the batch loop, so count
+                    # them here or /metrics would show a healthy server
+                    # while every request 500s.
+                    predictor.metrics.record_error()
+                    raise
+                try:
+                    mask = predictor.predict_one(img)
+                except TimeoutError:
+                    # Batch-loop failures are counted in _run_batch; a
+                    # timeout means the request never completed there.
+                    predictor.metrics.record_error()
+                    raise
                 out = io.BytesIO()
                 mask_to_image(mask, predictor.mask_values).save(out, format="PNG")
                 data = out.getvalue()
@@ -385,10 +418,18 @@ def main(argv=None):
         # model code or checkpoint needed at the serving site.
         from tpu_unet.export import load_exported
 
+        if args.tile or args.kernels:
+            # Reject rather than silently serve the full-image path: the
+            # artifact IS the compiled program — there is no tiler or
+            # kernel backend to select at the serving site.
+            raise SystemExit("--tile/--kernels do not apply to .jaxexp "
+                             "artifacts (the artifact is the compiled "
+                             "program); re-export or serve a checkpoint")
         exported = load_exported(args.model)
         (in_aval,) = exported.in_avals
         _, h_a, w_a, _ = in_aval.shape
         n_classes = int(exported.out_avals[0].shape[-1])
+        pinned = None
         if not isinstance(in_aval.shape[0], int):
             pass  # symbolic batch: any max_batch works
         elif in_aval.shape[0] != args.max_batch:
@@ -396,12 +437,14 @@ def main(argv=None):
                 f"artifact batch is pinned to {in_aval.shape[0]}; "
                 f"pass --max-batch {in_aval.shape[0]}"
             )
+        else:
+            pinned = int(in_aval.shape[0])
         config = UNetConfig(3, n_classes, bilinear=args.bilinear, arch=args.arch)
         predictor = BatchedPredictor(
             None, None, config, None,
             scale=args.scale, threshold=args.mask_threshold, amp=args.amp,
             max_batch=args.max_batch, batch_window_ms=args.batch_window_ms,
-            timeout_s=args.timeout_s,
+            timeout_s=args.timeout_s, fixed_batch=pinned,
             fwd=exported.call, static_hw=(int(h_a), int(w_a)),
         )
         # The artifact's input shape is static and known — always pre-compile

@@ -67,8 +67,12 @@ def compute_loss(logits, masks, n_classes: int, axis_name: str | None = None):
     global-batch loss: the BCE/CE local means are pmean'd (equal shards) and
     the Dice ratio's sums are psum'd before the division — a mean of
     per-shard Dice ratios would NOT equal the global-batch Dice the GSPMD
-    path computes. Gradients of this replicated scalar are per-device
-    partials, so the caller must psum (not pmean) them.
+    path computes. Gradients of this replicated scalar must be pmean'd (NOT
+    psum'd) by the caller: JAX transposes psum as psum, so each device's
+    partial already carries an extra factor of the axis size on the
+    collective-reduced terms — see the matching comment in make_train_step,
+    whose pmean is asserted against the single-device gradient in
+    tests/test_parallel.py.
     """
     if n_classes == 1:
         logit = logits[..., 0]
@@ -327,6 +331,8 @@ def train_model(
     except ImportError:  # progress bars are cosmetic; never required
         tqdm = None
 
+    pbar = None  # assigned per-epoch below; drain_losses may run first
+
     def drain_losses():
         # One batched D2H fetch; per-step wandb logs ride the same drain so
         # --wandb never reintroduces the ~29 ms/step float() sync.
@@ -336,6 +342,8 @@ def train_model(
             if experiment:
                 for (s, ep), v in zip(pending_meta, vals):
                     experiment.log({"train loss": v, "step": s, "epoch": ep})
+            if pbar:
+                pbar.set_postfix(loss=f"{vals[-1]:.4f}")
             pending_losses.clear()
             pending_meta.clear()
 
@@ -377,9 +385,10 @@ def train_model(
             pending_losses.append(loss)
             pending_meta.append((global_step, epoch))
             if pbar:
+                # Postfix updates ride the lazy drain (validation/epoch
+                # boundaries) — a float(loss) here would reintroduce the
+                # very D2H sync the comment above avoids.
                 pbar.update(images.shape[0])
-                if global_step % 10 == 0:
-                    pbar.set_postfix(loss=f"{float(loss):.4f}")
 
             # Validation 5×/epoch, reference cadence.
             if division_step > 0 and global_step % division_step == 0:
