@@ -249,3 +249,56 @@ def test_tile_halo_alignment_validated_at_startup():
     params, state = init_unet(jax.random.PRNGKey(0), config)
     with pytest.raises(ValueError, match="multiples of 16"):
         BatchedPredictor(params, state, config, [0, 255], tile=512, halo=120)
+
+
+def test_multi_model_routing(tmp_path, rng):
+    """Multi-model serving: /predict/<name> routes to the right model,
+    bare /predict hits the default, unknown names 404, and /healthz and
+    /metrics nest per model."""
+    import http.client
+    import json as _json
+    from http.server import ThreadingHTTPServer
+
+    configs = {
+        "small": UNetConfig(3, 1, bilinear=True, base_channels=4),
+        "big": UNetConfig(3, 1, bilinear=True, base_channels=8),
+    }
+    preds = {}
+    for name, cfg in configs.items():
+        params, state = init_unet(jax.random.PRNGKey(len(name)), cfg)
+        preds[name] = BatchedPredictor(
+            params, state, cfg, [0, 255],
+            scale=1.0, amp=False, max_batch=2, batch_window_ms=5.0,
+        )
+    server = ThreadingHTTPServer(
+        ("127.0.0.1", 0), make_handler(preds, default="small")
+    )
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        port = server.server_address[1]
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+
+        conn.request("GET", "/healthz")
+        h = _json.loads(conn.getresponse().read())
+        assert h["default"] == "small" and set(h["models"]) == {"small", "big"}
+
+        buf = io.BytesIO()
+        _img(rng).save(buf, format="PNG")
+        for path in ("/predict", "/predict/small", "/predict/big"):
+            conn.request("POST", path, body=buf.getvalue())
+            r = conn.getresponse()
+            assert r.status == 200, path
+            mask = np.asarray(Image.open(io.BytesIO(r.read())))
+            assert mask.shape == (48, 64)
+
+        conn.request("POST", "/predict/nope", body=buf.getvalue())
+        assert conn.getresponse().status == 404
+
+        conn.request("GET", "/metrics")
+        m = _json.loads(conn.getresponse().read())
+        assert m["small"]["requests"] >= 2 and m["big"]["requests"] >= 1
+    finally:
+        server.shutdown()
+        for p_ in preds.values():
+            p_.stop()

@@ -316,21 +316,51 @@ class BatchedPredictor:
         self._worker.join(timeout=2)
 
 
-def make_handler(predictor: BatchedPredictor):
+def make_handler(predictor, default: str | None = None):
+    """HTTP handler over one predictor or a {name: predictor} map.
+
+    Single-predictor mode keeps the original flat /healthz and /metrics
+    payloads and serves POST /predict. Multi-model mode nests both payloads
+    by model name and additionally routes POST /predict/<name>; bare
+    /predict goes to ``default`` (the first model)."""
+    if isinstance(predictor, BatchedPredictor):
+        models = {"default": predictor}
+        default = "default"
+        multi = False
+    else:
+        models = dict(predictor)
+        default = default or next(iter(models))
+        multi = True
+
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):
             logger.debug(fmt, *args)
 
         def do_GET(self):
             if self.path == "/healthz":
-                payload = {
-                    "status": "ok",
-                    "n_classes": predictor.config.n_classes,
-                    "arch": predictor.config.arch,
-                    "scale": predictor.scale,
-                }
+                if multi:
+                    payload = {
+                        "status": "ok",
+                        "default": default,
+                        "models": {
+                            n: {"n_classes": m.config.n_classes,
+                                "arch": m.config.arch, "scale": m.scale}
+                            for n, m in models.items()
+                        },
+                    }
+                else:
+                    m = models[default]
+                    payload = {
+                        "status": "ok",
+                        "n_classes": m.config.n_classes,
+                        "arch": m.config.arch,
+                        "scale": m.scale,
+                    }
             elif self.path == "/metrics":
-                payload = predictor.metrics.snapshot()
+                if multi:
+                    payload = {n: m.metrics.snapshot() for n, m in models.items()}
+                else:
+                    payload = models[default].metrics.snapshot()
             else:
                 self.send_error(404)
                 return
@@ -342,8 +372,16 @@ def make_handler(predictor: BatchedPredictor):
             self.wfile.write(body)
 
         def do_POST(self):
-            if self.path != "/predict":
+            if self.path == "/predict":
+                name = default
+            elif self.path.startswith("/predict/"):
+                name = self.path[len("/predict/"):]
+            else:
                 self.send_error(404)
+                return
+            predictor = models.get(name)
+            if predictor is None:
+                self.send_error(404, f"unknown model {name!r}")
                 return
             try:
                 try:
@@ -376,9 +414,85 @@ def make_handler(predictor: BatchedPredictor):
     return Handler
 
 
+def build_predictor(model_path: str, args) -> BatchedPredictor:
+    """One predictor from a model spec: .jaxexp artifact (auto-warmed at its
+    static shape), .pth torch import, or .npz checkpoint."""
+    config = UNetConfig(3, args.classes, bilinear=args.bilinear, arch=args.arch)
+    if str(model_path).endswith(".jaxexp"):
+        from tpu_unet.export import load_exported
+
+        if args.tile or args.kernels:
+            # Reject rather than silently serve the full-image path: the
+            # artifact IS the compiled program — there is no tiler or
+            # kernel backend to select at the serving site.
+            raise SystemExit("--tile/--kernels do not apply to .jaxexp "
+                             "artifacts (the artifact is the compiled "
+                             "program); re-export or serve a checkpoint")
+        exported = load_exported(model_path)
+        (in_aval,) = exported.in_avals
+        _, h_a, w_a, _ = in_aval.shape
+        n_classes = int(exported.out_avals[0].shape[-1])
+        pinned = None
+        if not isinstance(in_aval.shape[0], int):
+            pass  # symbolic batch: any max_batch works
+        elif in_aval.shape[0] != args.max_batch:
+            raise SystemExit(
+                f"artifact batch is pinned to {in_aval.shape[0]}; "
+                f"pass --max-batch {in_aval.shape[0]}"
+            )
+        else:
+            pinned = int(in_aval.shape[0])
+        config = UNetConfig(3, n_classes, bilinear=args.bilinear, arch=args.arch)
+        predictor = BatchedPredictor(
+            None, None, config, None,
+            scale=args.scale, threshold=args.mask_threshold, amp=args.amp,
+            max_batch=args.max_batch, batch_window_ms=args.batch_window_ms,
+            timeout_s=args.timeout_s, fixed_batch=pinned,
+            fwd=exported.call, static_hw=(int(h_a), int(w_a)),
+        )
+        # The artifact's input shape is static and known — always pre-compile
+        # so the first real request never pays the cold start.
+        predictor.warmup(int(h_a), int(w_a))
+        predictor.metrics = ServeMetrics()  # warmup shouldn't skew p99
+        logger.info("Loaded artifact %s (static %dx%d, %d classes)",
+                    model_path, h_a, w_a, n_classes)
+        return predictor
+
+    if str(model_path).endswith(".pth"):
+        from tpu_unet.checkpoint import import_pth
+
+        params, state = init_unet(jax.random.PRNGKey(0), config)
+        params, state, mask_values = import_pth(model_path, config)
+    else:
+        from tpu_unet.checkpoint import load_checkpoint, read_checkpoint_meta
+
+        _, extra = read_checkpoint_meta(model_path)
+        if "config" in extra:
+            config = UNetConfig(**extra["config"])  # self-describing checkpoint
+        params, state = init_unet(jax.random.PRNGKey(0), config)
+        params, state, mask_values, _ = load_checkpoint(model_path, params, state)
+
+    predictor = BatchedPredictor(
+        params, state, config, mask_values,
+        scale=args.scale, threshold=args.mask_threshold, amp=args.amp,
+        max_batch=args.max_batch, batch_window_ms=args.batch_window_ms,
+        kernels=args.kernels, timeout_s=args.timeout_s,
+        tile=args.tile, halo=args.halo,
+    )
+    if args.warmup:
+        h_r, w_r = (int(v) for v in args.warmup.lower().split("x"))
+        predictor.warmup(h_r, w_r)
+        predictor.metrics = ServeMetrics()  # warmup shouldn't skew p99
+    return predictor
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description="tpu-unet batched inference server")
-    p.add_argument("--model", "-m", required=True)
+    p.add_argument("--model", "-m", required=True, action="append",
+                   help="Model to serve: a .npz/.pth/.jaxexp path, or "
+                        "name=path. Repeat for multi-model serving — each "
+                        "model then answers POST /predict/<name> (bare "
+                        "/predict routes to the first).")
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--scale", "-s", type=float, default=0.5)
@@ -412,90 +526,38 @@ def main(argv=None):
     args = p.parse_args(argv)
     logging.basicConfig(level=logging.INFO, format="%(levelname)s: %(message)s")
 
-    config = UNetConfig(3, args.classes, bilinear=args.bilinear, arch=args.arch)
-    if str(args.model).endswith(".jaxexp"):
-        # Serialized StableHLO artifact (export.py): weights baked in, no
-        # model code or checkpoint needed at the serving site.
-        from tpu_unet.export import load_exported
+    from pathlib import Path
 
-        if args.tile or args.kernels:
-            # Reject rather than silently serve the full-image path: the
-            # artifact IS the compiled program — there is no tiler or
-            # kernel backend to select at the serving site.
-            raise SystemExit("--tile/--kernels do not apply to .jaxexp "
-                             "artifacts (the artifact is the compiled "
-                             "program); re-export or serve a checkpoint")
-        exported = load_exported(args.model)
-        (in_aval,) = exported.in_avals
-        _, h_a, w_a, _ = in_aval.shape
-        n_classes = int(exported.out_avals[0].shape[-1])
-        pinned = None
-        if not isinstance(in_aval.shape[0], int):
-            pass  # symbolic batch: any max_batch works
-        elif in_aval.shape[0] != args.max_batch:
-            raise SystemExit(
-                f"artifact batch is pinned to {in_aval.shape[0]}; "
-                f"pass --max-batch {in_aval.shape[0]}"
-            )
+    specs = []
+    for spec in args.model:
+        if "=" in spec and not spec.split("=", 1)[0].endswith((".npz", ".pth", ".jaxexp")):
+            name, path = spec.split("=", 1)
         else:
-            pinned = int(in_aval.shape[0])
-        config = UNetConfig(3, n_classes, bilinear=args.bilinear, arch=args.arch)
-        predictor = BatchedPredictor(
-            None, None, config, None,
-            scale=args.scale, threshold=args.mask_threshold, amp=args.amp,
-            max_batch=args.max_batch, batch_window_ms=args.batch_window_ms,
-            timeout_s=args.timeout_s, fixed_batch=pinned,
-            fwd=exported.call, static_hw=(int(h_a), int(w_a)),
-        )
-        # The artifact's input shape is static and known — always pre-compile
-        # so the first real request never pays the cold start.
-        predictor.warmup(int(h_a), int(w_a))
-        predictor.metrics = ServeMetrics()  # warmup shouldn't skew p99
-        server = ThreadingHTTPServer((args.host, args.port), make_handler(predictor))
-        logger.info(
-            "Serving artifact %s on %s:%d (static %dx%d, %d classes)",
-            args.model, args.host, args.port, h_a, w_a, n_classes,
-        )
-        try:
-            server.serve_forever()
-        except KeyboardInterrupt:
-            pass
-        finally:
-            predictor.stop()
-        return
-    if str(args.model).endswith(".pth"):
-        from tpu_unet.checkpoint import import_pth
+            name, path = Path(spec).stem, spec
+        specs.append((name, path))
+    if len({n for n, _ in specs}) != len(specs):
+        raise SystemExit(f"duplicate model names in {[n for n, _ in specs]}; "
+                         "disambiguate with name=path")
 
-        params, state = init_unet(jax.random.PRNGKey(0), config)
-        params, state, mask_values = import_pth(args.model, config)
-    else:
-        from tpu_unet.checkpoint import load_checkpoint, read_checkpoint_meta
-
-        _, extra = read_checkpoint_meta(args.model)
-        if "config" in extra:
-            config = UNetConfig(**extra["config"])  # self-describing checkpoint
-        params, state = init_unet(jax.random.PRNGKey(0), config)
-        params, state, mask_values, _ = load_checkpoint(args.model, params, state)
-
-    predictor = BatchedPredictor(
-        params, state, config, mask_values,
-        scale=args.scale, threshold=args.mask_threshold, amp=args.amp,
-        max_batch=args.max_batch, batch_window_ms=args.batch_window_ms,
-        kernels=args.kernels, timeout_s=args.timeout_s,
-        tile=args.tile, halo=args.halo,
+    predictors = {name: build_predictor(path, args) for name, path in specs}
+    default = specs[0][0]
+    handler = (
+        make_handler(next(iter(predictors.values())))
+        if len(predictors) == 1
+        else make_handler(predictors, default=default)
     )
-    if args.warmup:
-        h_r, w_r = (int(v) for v in args.warmup.lower().split("x"))
-        predictor.warmup(h_r, w_r)
-        predictor.metrics = ServeMetrics()  # warmup shouldn't skew p99
-    server = ThreadingHTTPServer((args.host, args.port), make_handler(predictor))
-    logger.info("Serving on %s:%d (max_batch=%d)", args.host, args.port, args.max_batch)
+    server = ThreadingHTTPServer((args.host, args.port), handler)
+    logger.info(
+        "Serving %s on %s:%d (max_batch=%d)",
+        ", ".join(n for n, _ in specs), args.host, args.port, args.max_batch,
+    )
     try:
         server.serve_forever()
     except KeyboardInterrupt:
         pass
     finally:
-        predictor.stop()
+        for pr in predictors.values():
+            pr.stop()
 
 
 if __name__ == "__main__":
