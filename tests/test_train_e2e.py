@@ -150,3 +150,16 @@ def test_wandb_parity_buffered_steps_grad_histograms_pred_mask(tmp_path, monkeyp
     assert any(k.startswith("Weights/") for k in v)
     assert any(k.startswith("Gradients/") for k in v)
     assert set(v["masks"]) == {"true", "pred"}
+
+
+def test_keep_checkpoints_retention(carvana, tmp_path, monkeypatch):
+    """--keep-checkpoints N prunes all but the newest N epoch checkpoints."""
+    monkeypatch.chdir(tmp_path)
+    ckpt_dir = tmp_path / "ck"
+    train_main([
+        "-e", "3", "-b", "2", "-l", "1e-3", "-s", "1.0",
+        "--data-dir", str(carvana), "--checkpoint-dir", str(ckpt_dir),
+        "--keep-checkpoints", "2",
+    ])
+    names = sorted(p.name for p in ckpt_dir.glob("checkpoint_epoch*.npz"))
+    assert names == ["checkpoint_epoch2.npz", "checkpoint_epoch3.npz"]

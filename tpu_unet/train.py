@@ -172,6 +172,7 @@ def train_model(
     learning_rate: float = 1e-5,
     val_percent: float = 0.1,
     save_checkpoint_flag: bool = True,
+    keep_checkpoints: int | None = None,
     amp: bool = False,
     weight_decay: float = 1e-8,
     momentum: float = 0.999,
@@ -458,6 +459,20 @@ def train_model(
                 opt_state=opt_state if save_optimizer else None,
             )
             logger.info("Checkpoint %d saved!", epoch)
+            if keep_checkpoints:
+                # Retention (beyond-reference; the reference keeps every
+                # epoch — ~124 MB each at 31M params): prune epochs older
+                # than the newest N. Only strictly-older files are touched,
+                # so the async write of THIS epoch is never raced.
+                for old in sorted(checkpoint_dir.glob("checkpoint_epoch*.npz")):
+                    try:
+                        ep = int(old.stem.removeprefix("checkpoint_epoch"))
+                    except ValueError:
+                        continue  # not ours (e.g. user-renamed file)
+                    if ep <= epoch - keep_checkpoints:
+                        old.unlink(missing_ok=True)
+                        logger.info("Pruned %s (keep-checkpoints=%d)",
+                                    old.name, keep_checkpoints)
 
     checkpointer.wait()
     return params, bn_state, history
@@ -515,6 +530,10 @@ def get_args(argv=None):
     parser.add_argument("--device-preprocess", action="store_true", default=False,
                         help="Decode on host, resize/normalize on the TPU "
                              "(fast path; host PIL preprocess is the parity-exact default)")
+    parser.add_argument("--keep-checkpoints", type=int, default=None, metavar="N",
+                        help="Retain only the newest N per-epoch checkpoints "
+                             "(~124 MB each at 31M params); default keeps "
+                             "all, like the reference")
     parser.add_argument("--save-optimizer", action="store_true", default=False,
                         help="Include optimizer state in checkpoints (enables full --resume)")
     parser.add_argument("--resume", type=str, default=None,
@@ -594,6 +613,7 @@ def main(argv=None):
             device_dataset=args.device_dataset,
             kernels=None if args.kernels == "xla" else args.kernels,
             spatial_parallel=args.spatial_parallel,
+            keep_checkpoints=args.keep_checkpoints,
             augment=_default_augment() if args.augment else None,
         )
 
