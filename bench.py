@@ -12,10 +12,18 @@ Config: the Carvana flagship (UNet 3→1, ConvTranspose decoder, 31M params),
 bf16 AMP (the production TPU precision; the reference's --amp analog).
 Batch: the largest of (16, 8, 4) that fits — 16 on v5e — measured once;
 no wider sweep, to keep one ~10-min compile per bench run.
+
+``--data-parallel`` runs the same fused step GSPMD-sharded over every
+visible chip (global batch = per-chip batch × n_devices, params replicated,
+XLA psum over ICI) and reports aggregate images/sec — the one-command pod
+number (VERDICT r2 next #9). On the single-chip axon tunnel it degenerates
+to the single-chip measurement; the sharded program itself is CPU-mesh
+tested by tests/test_bench_dp.py.
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import time
 from pathlib import Path
@@ -33,13 +41,37 @@ H = W = 572
 CONFIG = UNetConfig(n_channels=3, n_classes=1, bilinear=False)
 
 
-def bench_batch(batch: int, iters: int = 10, amp: bool = True) -> float:
-    params, state = init_unet(jax.random.PRNGKey(0), CONFIG)
+def bench_batch(
+    batch: int,
+    iters: int = 10,
+    amp: bool = True,
+    *,
+    h: int = H,
+    w: int = W,
+    config: UNetConfig = CONFIG,
+    data_parallel: bool = False,
+) -> float:
+    """images/sec of the fused train step at batch×h×w (PER-CHIP batch when
+    ``data_parallel``; the returned rate is the aggregate global rate)."""
+    params, state = init_unet(jax.random.PRNGKey(0), config)
     opt = rmsprop_init(params)
-    step = make_train_step(CONFIG, amp=amp)
+    step = make_train_step(config, amp=amp)
     rng = np.random.default_rng(0)
-    images = jnp.asarray(rng.random((batch, H, W, 3), dtype=np.float32))
-    masks = jnp.asarray(rng.integers(0, 2, (batch, H, W)))
+    n_dev = jax.device_count() if data_parallel else 1
+    global_batch = batch * n_dev
+    images = jnp.asarray(rng.random((global_batch, h, w, 3), dtype=np.float32))
+    masks = jnp.asarray(rng.integers(0, 2, (global_batch, h, w)))
+    if data_parallel and n_dev > 1:
+        from tpu_unet.parallel.mesh import batch_sharding, make_mesh, replicated
+
+        mesh = make_mesh()
+        rep = replicated(mesh)
+        shard = batch_sharding(mesh)
+        params = jax.device_put(params, rep)
+        state = jax.device_put(state, rep)
+        opt = jax.device_put(opt, rep)
+        images = jax.device_put(images, shard)
+        masks = jax.device_put(masks, shard)
     lr = jnp.float32(1e-5)
 
     # Warmup: compile + one extra step to stabilize. NOTE: sync via float()
@@ -57,18 +89,26 @@ def bench_batch(batch: int, iters: int = 10, amp: bool = True) -> float:
     # so this single fetch bounds the whole timed region.
     float(loss)
     dt = time.perf_counter() - t0
-    return batch * iters / dt
+    return global_batch * iters / dt
 
 
-def main():
+def main(argv=None):
+    p = argparse.ArgumentParser(description="tpu-unet headline bench")
+    p.add_argument("--data-parallel", action="store_true", default=False,
+                   help="Shard the step over every visible chip (GSPMD); "
+                        "reports aggregate images/sec")
+    args = p.parse_args(argv)
+
     device = jax.devices()[0]
+    n_dev = jax.device_count() if args.data_parallel else 1
     # Single batch size to keep one compile per bench run (first compile of
     # this program takes ~10 min through the axon remote-compile tunnel).
     best = 0.0
     best_batch = 0
-    for batch in (16, 8, 4):  # fall back only on OOM (measured: 16 → 64.9 img/s)
+    for batch in (16, 8, 4):  # fall back only on OOM (measured: 16 → 71.0 img/s)
         try:
-            best, best_batch = bench_batch(batch), batch
+            best = bench_batch(batch, data_parallel=args.data_parallel)
+            best_batch = batch
             break
         except Exception as e:
             if "RESOURCE_EXHAUSTED" in str(e) or "Out of memory" in str(e):
@@ -82,14 +122,18 @@ def main():
             "torch_cpu_images_per_sec_572_train"
         )
 
+    metric = "images/sec/chip at 572^2 train (fwd+bwd)"
+    if n_dev > 1:
+        metric = f"images/sec aggregate over {n_dev} chips at 572^2 train (fwd+bwd)"
     print(json.dumps({
-        "metric": "images/sec/chip at 572^2 train (fwd+bwd)",
+        "metric": metric,
         "value": round(best, 3),
         "unit": "images/sec",
         "vs_baseline": round(best / denom, 2) if denom else None,
         "batch": best_batch,
         "precision": "bf16",
         "device": str(device),
+        "n_devices": n_dev,
         "baseline": "torch-cpu 572^2 fwd+bwd (BASELINE_MEASURED.json)",
     }))
 

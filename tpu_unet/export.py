@@ -28,6 +28,7 @@ CLI:
 from __future__ import annotations
 
 import argparse
+import json
 import logging
 from pathlib import Path
 
@@ -79,13 +80,30 @@ def export_infer(
     return jax.export.export(jax.jit(fn), platforms=list(platforms))(xspec)
 
 
-def save_exported(exported, path: str | Path) -> None:
+def save_exported(exported, path: str | Path, meta: dict | None = None) -> None:
+    """Write the serialized artifact, plus a ``<path>.meta.json`` sidecar.
+
+    The sidecar carries what the StableHLO program cannot: the checkpoint's
+    ``mask_values`` palette (the load-bearing rendering contract predict.py
+    preserves — without it an artifact-served multiclass mask would render
+    as near-black class indices) and the model config, so a serving site
+    reconstructs the full predict_img semantics from the artifact alone."""
     Path(path).write_bytes(exported.serialize())
+    if meta is not None:
+        Path(str(path) + ".meta.json").write_text(json.dumps(meta))
 
 
 def load_exported(path: str | Path):
     """Deserialize an artifact; returns the Exported (use ``.call(x)``)."""
     return jax.export.deserialize(Path(path).read_bytes())
+
+
+def load_artifact_meta(path: str | Path) -> dict:
+    """Read the ``<path>.meta.json`` sidecar ({} for pre-sidecar artifacts)."""
+    p = Path(str(path) + ".meta.json")
+    if not p.exists():
+        return {}
+    return json.loads(p.read_text())
 
 
 def _load_model(model_path: str, args):
@@ -96,14 +114,14 @@ def _load_model(model_path: str, args):
         n_channels=3, n_classes=args.classes, bilinear=args.bilinear
     )
     if str(model_path).endswith(".pth"):
-        params, state, _ = import_pth(model_path, config)
-        return params, state, config
+        params, state, mask_values = import_pth(model_path, config)
+        return params, state, config, mask_values
     _, extra = read_checkpoint_meta(model_path)
     if "config" in extra:
         config = UNetConfig(**extra["config"])
     params, state = init_unet(jax.random.PRNGKey(0), config)
-    params, state, _, _ = load_checkpoint(model_path, params, state)
-    return params, state, config
+    params, state, mask_values, _ = load_checkpoint(model_path, params, state)
+    return params, state, config, mask_values
 
 
 def get_args(argv=None):
@@ -128,13 +146,14 @@ def get_args(argv=None):
 def main(argv=None):
     logging.basicConfig(level=logging.INFO, format="%(levelname)s: %(message)s")
     args = get_args(argv)
-    params, state, config = _load_model(args.model, args)
+    params, state, config, mask_values = _load_model(args.model, args)
     exported = export_infer(
         params, state, config,
         height=args.height, width=args.width, batch=args.batch, amp=args.amp,
         platforms=[s.strip() for s in args.platforms.split(",") if s.strip()],
     )
-    save_exported(exported, args.output)
+    save_exported(exported, args.output,
+                  meta={"mask_values": mask_values, "config": config._asdict()})
     size_mb = Path(args.output).stat().st_size / 1e6
     logger.info(
         "Exported %s -> %s (%.1f MB, platforms=%s, batch=%s, %dx%d)",
