@@ -56,6 +56,11 @@ class UNetConfig(NamedTuple):
     base_channels: int = 64
     arch: str = "unet"  # "unet" (reference parity) | "unetpp" (models/unetpp.py)
     deep_supervision: bool = False  # unetpp only: per-column heads, averaged
+    # MFU experiment (ops/s2d.py): compute the two full-resolution C=64
+    # DoubleConv levels (inc, up4) in 2×2 space-to-depth form — same math,
+    # 4× deeper MXU contraction, 1.78× the MACs. Numerics-equivalent
+    # (tests/test_s2d.py); params/checkpoints unchanged. Off by default.
+    s2d_level0: bool = False
 
 
 # ---------------------------------------------------------------------------
@@ -174,7 +179,7 @@ def _double_conv_apply(
 
 def _up_apply(
     params, state, x1, x2, *, bilinear: bool, train: bool, axis_name=None,
-    kernels=None,
+    kernels=None, s2d=False,
 ):
     """Decoder block: upsample x1, pad to skip x2, concat [x2, x1], DoubleConv."""
     if bilinear:
@@ -184,10 +189,17 @@ def _up_apply(
         x1 = (up + params["up"]["b"].astype(jnp.float32)).astype(x1.dtype)
     x1 = pad_to_match(x1, x2)
     x = jnp.concatenate([x2, x1], axis=-1)
-    out, conv_state = _double_conv_apply(
-        params["conv"], state["conv"], x, train=train, axis_name=axis_name,
-        kernels=kernels,
-    )
+    if s2d and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+        from tpu_unet.ops.s2d import double_conv_s2d
+
+        out, conv_state = double_conv_s2d(
+            params["conv"], state["conv"], x, train=train, axis_name=axis_name
+        )
+    else:
+        out, conv_state = _double_conv_apply(
+            params["conv"], state["conv"], x, train=train, axis_name=axis_name,
+            kernels=kernels,
+        )
     return out, {"conv": conv_state}
 
 
@@ -234,6 +246,8 @@ def unet_apply(
         x = x.astype(compute_dtype)
         params = jax.tree.map(lambda p: p.astype(compute_dtype), params)
 
+    use_s2d = (config.s2d_level0 and kernels is None
+               and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0)
     dc = functools.partial(
         _double_conv_apply, train=train, axis_name=axis_name, kernels=kernels
     )
@@ -243,10 +257,20 @@ def unet_apply(
         _up_apply, bilinear=config.bilinear, train=train, axis_name=axis_name,
         kernels=kernels,
     )
+    # s2d routing is bound BEFORE any jax.checkpoint wrap: a bool passed
+    # through the wrapped call would be traced and break the Python branch.
+    up_last = functools.partial(up, s2d=use_s2d)
+    if use_s2d:
+        from tpu_unet.ops.s2d import double_conv_s2d
+
+        dc_first = functools.partial(
+            double_conv_s2d, train=train, axis_name=axis_name
+        )
     if remat:
         dc = jax.checkpoint(dc)
         dc_first = jax.checkpoint(dc_first)
         up = jax.checkpoint(up)
+        up_last = jax.checkpoint(up_last)
 
     new_state: State = {}
     x1, new_state["inc"] = dc_first(params["inc"], state["inc"], x)
@@ -258,7 +282,7 @@ def unet_apply(
     h, new_state["up1"] = up(params["up1"], state["up1"], x5, x4)
     h, new_state["up2"] = up(params["up2"], state["up2"], h, x3)
     h, new_state["up3"] = up(params["up3"], state["up3"], h, x2)
-    h, new_state["up4"] = up(params["up4"], state["up4"], h, x1)
+    h, new_state["up4"] = up_last(params["up4"], state["up4"], h, x1)
 
     logits = conv2d(h, params["outc"]["w"], stride=1, padding=0)
     logits = logits + params["outc"]["b"].astype(jnp.float32)

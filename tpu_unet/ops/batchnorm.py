@@ -50,16 +50,22 @@ def batch_norm(
     momentum: float = 0.1,
     eps: float = 1e-5,
     axis_name: str | None = None,
+    phases: int = 1,
 ) -> tuple[jax.Array, BNState]:
     """Apply batch norm. x: [N,H,W,C]. Returns (y, new_state).
 
     Train mode normalizes by biased batch variance and updates running stats
     with the unbiased variance (torch semantics). Eval mode uses running stats.
+
+    ``phases > 1`` (space-to-depth callers, ops/s2d.py): x's channel dim is
+    phase-major [phases·C] where channel (φ, c) is logical channel c at
+    spatial phase φ — statistics reduce across phases into per-c values
+    (state stays [C]) and γ/β/μ/σ² are tiled back across phases.
     """
     orig_dtype = x.dtype
     if train:
         xf = x.astype(jnp.float32)
-        n = x.shape[0] * x.shape[1] * x.shape[2]
+        n = x.shape[0] * x.shape[1] * x.shape[2] * phases
         # One-pass statistics: Σx and Σx² are sibling reductions over the
         # same operand, which XLA multi-output-fuses into a SINGLE sweep of
         # the activation — the two-pass E[(x-μ)²] form forces a second full
@@ -72,6 +78,12 @@ def batch_norm(
         # oracle in tests/test_model.py / test_train_e2e.py).
         s1 = jnp.sum(xf, axis=(0, 1, 2))
         s2 = jnp.sum(jnp.square(xf), axis=(0, 1, 2))
+        if phases > 1:
+            # Fold the phase-major channel groups: [phases·C] -> [C]. The
+            # big (N,H,W) sweep above is unchanged; this is a tiny second
+            # reduction over a [phases, C] view.
+            s1 = s1.reshape(phases, -1).sum(axis=0)
+            s2 = s2.reshape(phases, -1).sum(axis=0)
         if axis_name is not None:
             # Cross-replica sums give global-batch statistics directly
             # (around the global mean, including the between-replica term).
@@ -96,6 +108,10 @@ def batch_norm(
     scale = params["scale"].astype(jnp.float32)
     bias = params["bias"].astype(jnp.float32)
     inv = jax.lax.rsqrt(var + eps) * scale
+    shift = bias - mean * inv
+    if phases > 1:
+        inv = jnp.tile(inv, phases)
+        shift = jnp.tile(shift, phases)
     # One fused multiply-add per element; XLA folds this into the conv epilogue.
-    y = x.astype(jnp.float32) * inv + (bias - mean * inv)
+    y = x.astype(jnp.float32) * inv + shift
     return y.astype(orig_dtype), new_state
