@@ -354,6 +354,28 @@ def test_body_cap_413(predictor, rng):
         server.shutdown()
 
 
+def test_malformed_content_length_is_counted(predictor):
+    """'Content-Length: abc' must 400 AND land in the error counter —
+    /metrics must never show a healthy server while requests fail."""
+    import http.client
+    from http.server import ThreadingHTTPServer
+
+    server = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(predictor))
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        errors_before = predictor.metrics.snapshot()["errors"]
+        port = server.server_address[1]
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+        conn.putrequest("POST", "/predict")
+        conn.putheader("Content-Length", "abc")
+        conn.endheaders()
+        assert conn.getresponse().status == 400
+        assert predictor.metrics.snapshot()["errors"] == errors_before + 1
+    finally:
+        server.shutdown()
+
+
 def test_parse_model_specs(tmp_path):
     """name=path splitting must not break bare paths containing '='
     (ADVICE r2: /runs/lr=1e-3/ckpt.npz)."""

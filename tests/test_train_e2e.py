@@ -159,6 +159,54 @@ def test_wandb_parity_buffered_steps_grad_histograms_pred_mask(tmp_path, monkeyp
     assert hist_sizes and all(s <= 2 * _HIST_CAP for s in hist_sizes)
 
 
+def test_wandb_histograms_with_trailing_partial_batch(tmp_path, monkeypatch):
+    """Validation landing on a trailing PARTIAL batch must not feed the
+    histogram step an odd shape (a second full fwd+bwd compile — ~10 min
+    through the relay at flagship scale): histograms sample the last FULL
+    batch instead."""
+    import sys
+    import types
+
+    import numpy as np
+
+    from tpu_unet.data import CarvanaDataset, make_synthetic_carvana
+    from tpu_unet.models import UNetConfig, init_unet
+
+    logs = []
+    fake = types.ModuleType("wandb")
+
+    class FakeExperiment:
+        def __init__(self):
+            self.config = types.SimpleNamespace(update=lambda *a, **k: None)
+
+        def log(self, d):
+            logs.append(d)
+
+    fake.init = lambda **k: FakeExperiment()
+    fake.Histogram = lambda v: ("hist", int(np.asarray(v).size))
+    fake.Image = lambda v: ("img", np.asarray(v).shape)
+    monkeypatch.setitem(sys.modules, "wandb", fake)
+
+    # 24 imgs, val 1/12 -> 22 train; batch 4 -> 5 full + one batch of 2;
+    # division_step = 22 // 20 = 1 -> a validation fires on the partial
+    # batch step too.
+    make_synthetic_carvana(tmp_path / "d", n=24, h=32, w=32)
+    ds = CarvanaDataset(tmp_path / "d" / "imgs", tmp_path / "d" / "masks",
+                        scale=1.0, num_workers=0)
+    config = UNetConfig(3, 1, bilinear=True, base_channels=8)
+    params, state = init_unet(jax.random.PRNGKey(0), config)
+
+    train_model(
+        params, state, config, dataset=ds, epochs=1, batch_size=4,
+        learning_rate=1e-3, val_percent=1 / 12, save_checkpoint_flag=False,
+        use_wandb=True, seed=0,
+    )
+    val_logs = [d for d in logs if "validation Dice" in d]
+    assert len(val_logs) == 6  # one per step incl. the partial-batch step
+    # Every validation still carries histograms (sampled from a full batch).
+    assert all(any(k.startswith("Gradients/") for k in v) for v in val_logs)
+
+
 def test_keep_checkpoints_retention(carvana, tmp_path, monkeypatch):
     """--keep-checkpoints N prunes all but the newest N epoch checkpoints."""
     monkeypatch.chdir(tmp_path)

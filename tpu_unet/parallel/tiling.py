@@ -166,8 +166,8 @@ def tiled_forward_padded(
     This is what lets ``--tile`` do real tiling at the reference's own
     959×640 scale (959 % 16 ≠ 0 — VERDICT r2 weak #6)."""
     n, h, w, c = x.shape
-    pad_h = (-h) % 16
-    pad_w = (-w) % 16
+    ph, pw = padded_hw(h, w)
+    pad_h, pad_w = ph - h, pw - w
     if pad_h == 0 and pad_w == 0:
         return tiled_forward(params, state, x, config=config, tile=tile,
                              halo=halo, amp=amp, window_batch=window_batch)

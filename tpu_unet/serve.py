@@ -437,7 +437,14 @@ def make_handler(predictor, default: str | None = None,
                 self.send_error(404, f"unknown model {name!r}")
                 return
             try:
-                length = int(self.headers.get("Content-Length", 0) or 0)
+                try:
+                    length = int(self.headers.get("Content-Length", 0) or 0)
+                except ValueError:
+                    # Malformed header: count it — /metrics must not show a
+                    # healthy server while such requests fail.
+                    predictor.metrics.record_error()
+                    self.send_error(400, "invalid Content-Length")
+                    return
                 if length > max_body_bytes:
                     # Reject before reading: an unbounded body would be
                     # buffered whole (ADVICE r2 / VERDICT r2 weak #5).

@@ -355,6 +355,7 @@ def train_model(
 
     history = {"train_loss": [], "val_dice": [], "lr": []}
     global_step = 0
+    hist_batch = None  # last full-size batch, for W&B histogram sampling
     division_step = n_train // (5 * batch_size)
     checkpointer = AsyncCheckpointer()
 
@@ -408,6 +409,13 @@ def train_model(
                 jnp.float32(scheduler.lr),
             )
             global_step += 1
+            if experiment is not None and images.shape[0] == batch_size:
+                # Histograms sample the last FULL batch: a trailing partial
+                # batch would hand hist_sample_step a second shape and cost
+                # another full fwd+bwd compile (~10 min through the relay)
+                # mid-training. images/masks are not donated, so holding the
+                # reference keeps exactly one extra batch alive.
+                hist_batch = (images, masks)
             # Keep the loss on device: a float() here costs a full D2H sync
             # (~29 ms on the relay) EVERY step; values (and wandb step logs)
             # are fetched lazily at validation/epoch boundaries instead.
@@ -436,8 +444,9 @@ def train_model(
                     # (hist_sample_step above) — a few MB per validation.
                     import wandb
 
+                    h_imgs, h_masks = hist_batch if hist_batch else (images, masks)
                     w_sub, g_sub = jax.device_get(
-                        hist_sample_step(params, bn_state, images, masks)
+                        hist_sample_step(params, bn_state, h_imgs, h_masks)
                     )
 
                     def tree_histograms(tree, prefix):
