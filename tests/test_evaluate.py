@@ -84,3 +84,25 @@ def test_evaluate_averages_over_batches():
     ]
     dice, iou = evaluate(params, state, loader, config)
     assert 0.0 <= dice <= 1.0 and 0.0 <= iou <= 1.0
+
+
+def test_evaluate_cli_data_parallel(tmp_path):
+    """The standalone evaluate CLI over the DP mesh equals the
+    single-device CLI run (VERDICT r2 next #1 surface)."""
+    from tpu_unet.checkpoint import save_checkpoint
+    from tpu_unet.data import make_synthetic_carvana
+    from tpu_unet.evaluate import main as evaluate_main
+    from tpu_unet.models import init_unet
+
+    make_synthetic_carvana(tmp_path / "d", n=8, h=32, w=48)
+    config = UNetConfig(3, 1, bilinear=True, base_channels=8)
+    params, state = init_unet(jax.random.PRNGKey(0), config)
+    ckpt = tmp_path / "m.npz"
+    save_checkpoint(ckpt, params, state, mask_values=[0, 255],
+                    extra={"config": config._asdict()})
+
+    common = ["-m", str(ckpt), "--data-dir", str(tmp_path / "d"),
+              "-s", "1.0", "-b", "8"]
+    solo = evaluate_main(common)
+    dp = evaluate_main(common + ["--data-parallel"])
+    np.testing.assert_allclose(dp, solo, rtol=1e-5)

@@ -118,6 +118,10 @@ def main(argv=None):
     p.add_argument("--bilinear", action="store_true")
     p.add_argument("--arch", choices=["unet", "unetpp"], default="unet")
     p.add_argument("--amp", action="store_true")
+    p.add_argument("--data-parallel", action="store_true", default=False,
+                   help="Shard each eval batch over all visible chips "
+                        "(GSPMD; batches that don't divide the mesh run "
+                        "unsharded)")
     args = p.parse_args(argv)
     logging.basicConfig(level=logging.INFO, format="%(levelname)s: %(message)s")
 
@@ -140,7 +144,16 @@ def main(argv=None):
     except (AssertionError, RuntimeError, IndexError):
         ds = BasicDataset(data_dir / "imgs", data_dir / "masks", args.scale)
     loader = DataLoader(ds, args.batch_size)
-    dice, iou = evaluate(params, state, loader, config, amp=args.amp)
+    sharding = None
+    if args.data_parallel and jax.device_count() > 1:
+        from tpu_unet.parallel.mesh import image_sharding, make_mesh, replicated
+
+        mesh = make_mesh()
+        sharding = image_sharding(mesh)
+        params = jax.device_put(params, replicated(mesh))
+        state = jax.device_put(state, replicated(mesh))
+    dice, iou = evaluate(params, state, loader, config, amp=args.amp,
+                         sharding=sharding)
     print(f"Dice: {dice:.6f}  IoU: {iou:.6f}  (n={len(ds)})")
     return dice
 
