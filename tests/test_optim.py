@@ -81,3 +81,21 @@ def test_plateau_matches_torch():
         lr_j = sched_j.step(m)
         lr_t = opt.param_groups[0]["lr"]
         assert abs(lr_j - lr_t) < 1e-12, (m, lr_j, lr_t)
+
+
+def test_plateau_matches_torch_negative_metrics():
+    """Torch applies the rel threshold with NO sign branch — negative
+    metrics (e.g. a scheduler driven by -loss) must track torch exactly
+    (self-review r3)."""
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.RMSprop([p], lr=1e-3)
+    sched_t = torch.optim.lr_scheduler.ReduceLROnPlateau(opt, "max", patience=2)
+    sched_j = ReduceLROnPlateau(lr=1e-3, mode="max", patience=2)
+
+    metrics = [-1.0, -1.00005, -0.9999, -1.0001, -1.0001, -1.0001, -1.0001,
+               -0.5, -0.50004, -0.50006, -0.51, -0.51, -0.51]
+    for m in metrics:
+        sched_t.step(m)
+        lr_j = sched_j.step(m)
+        lr_t = opt.param_groups[0]["lr"]
+        assert abs(lr_j - lr_t) < 1e-12, (m, lr_j, lr_t)

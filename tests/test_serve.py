@@ -354,6 +354,44 @@ def test_body_cap_413(predictor, rng):
         server.shutdown()
 
 
+def test_group_failure_spares_completed_requests(rng, monkeypatch):
+    """A mid-group exception must only fail requests still in flight: an
+    item whose mask was already delivered must not be turned into an error
+    (self-review r3)."""
+    import tpu_unet.serve as serve_mod
+
+    config = UNetConfig(3, 1, bilinear=True, base_channels=4)
+    params, state = init_unet(jax.random.PRNGKey(0), config)
+    p = BatchedPredictor(
+        params, state, config, [0, 255],
+        scale=1.0, amp=False, max_batch=4, batch_window_ms=5.0,
+    )
+    calls = {"n": 0}
+    real_resize = serve_mod.resize_bilinear
+
+    def flaky_resize(*a, **k):
+        calls["n"] += 1
+        if calls["n"] == 2:  # second request in the group blows up
+            raise RuntimeError("boom")
+        return real_resize(*a, **k)
+
+    monkeypatch.setattr(serve_mod, "resize_bilinear", flaky_resize)
+    try:
+        slots = [{}, {}]
+        dones = [threading.Event(), threading.Event()]
+        t0 = __import__("time").monotonic()
+        imgs = [_img(rng), _img(rng)]  # same shape -> one group
+        p._run_batch([(imgs[0], slots[0], dones[0], t0),
+                      (imgs[1], slots[1], dones[1], t0)])
+        assert all(d.wait(120) for d in dones)
+        assert "mask" in slots[0] and "error" not in slots[0]
+        assert slots[1].get("error") == "boom"
+        snap = p.metrics.snapshot()
+        assert snap["errors"] == 1 and snap["requests"] == 2
+    finally:
+        p.stop()
+
+
 def test_malformed_content_length_is_counted(predictor):
     """'Content-Length: abc' must 400 AND land in the error counter —
     /metrics must never show a healthy server while requests fail."""

@@ -36,6 +36,20 @@ def test_conv3x3_fwd_raw_matches_xla(rng, shape, cout):
     )
 
 
+def test_conv3x3_fwd_stats_false(rng):
+    """The documented default path (stats=False) must work — pallas_call
+    returns a tuple in both modes (self-review r3: it crashed with
+    'tuple indices must be integers')."""
+    from tpu_unet.kernels.train_conv import conv3x3_fwd
+
+    x = _rand(rng, (1, 8, 16, 8))
+    w = _rand(rng, (3, 3, 8, 8), 0.1)
+    ref = conv2d(x, w, stride=1, padding=1)
+    with pltpu.force_tpu_interpret_mode():
+        z = conv3x3_fwd(x, w)
+    np.testing.assert_allclose(np.asarray(z), np.asarray(ref), atol=1e-4, rtol=1e-4)
+
+
 def test_conv3x3_fwd_prologue_matches_xla(rng):
     from tpu_unet.kernels.train_conv import conv3x3_fwd
 

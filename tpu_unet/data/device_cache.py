@@ -90,7 +90,11 @@ class _Batches:
             b = order[i : i + bs]
             if self.drop_last and len(b) < bs:
                 break
-            x, m = self.parent._gather(
+            gather = self.parent._gather
+            if (self.parent._gather_fallback is not None
+                    and not self.parent._batch_shardable(len(b))):
+                gather = self.parent._gather_fallback
+            x, m = gather(
                 self.parent._images, self.parent._masks, jnp.asarray(b)
             )
             yield {"image": x, "mask": m}
@@ -143,18 +147,33 @@ class DeviceResidentData:
             shards = int(np.prod(list(data_sharding.mesh.shape.values())))
             pad = (-n) % shards
             if pad:
-                stage_imgs = np.concatenate([stage_imgs, stage_imgs[:pad]])
-                stage_masks = np.concatenate([stage_masks, stage_masks[:pad]])
+                # Repeat rows cyclically: pad may exceed n for tiny corpora
+                # on wide meshes (a plain [:pad] slice would under-pad and
+                # the device_put below would fail divisibility). Pad rows
+                # are never indexed by real batches.
+                rep = np.arange(pad) % n
+                stage_imgs = np.concatenate([stage_imgs, stage_imgs[rep]])
+                stage_masks = np.concatenate([stage_masks, stage_masks[rep]])
             self._images = jax.device_put(stage_imgs, data_sharding)
             self._masks = jax.device_put(stage_masks, data_sharding)
         else:
             self._images = jnp.asarray(stage_imgs)
             self._masks = jnp.asarray(stage_masks)
+        self._sample_hw = (h, w, c)
         base = _gather_u8.__wrapped__ if exact else _gather_f32.__wrapped__
+        plain = _gather_u8 if exact else _gather_f32
         if out_sharding is not None:
             self._gather = jax.jit(base, out_shardings=(out_sharding, out_sharding))
+            # Batches that don't divide the mesh (e.g. the val split's
+            # trailing batch — no drop_last) can't take the sharded-output
+            # gather; they fall back to the plain jit (their odd batch shape
+            # needs its own compile anyway).
+            self._gather_fallback = plain
+            self._out_sharding = out_sharding
         else:
-            self._gather = _gather_u8 if exact else _gather_f32
+            self._gather = plain
+            self._gather_fallback = None
+            self._out_sharding = None
         mb = self._images.nbytes / 1e6 + self._masks.nbytes / 1e6
         logger.info(
             "Device-resident dataset: %d samples %dx%d staged to HBM "
@@ -162,6 +181,17 @@ class DeviceResidentData:
             "uint8" if exact else "float32",
             ", sharded" if data_sharding is not None else "",
         )
+
+    def _batch_shardable(self, n_batch: int) -> bool:
+        """True when a gathered batch of this size divides the out_sharding
+        mesh (image AND mask shapes)."""
+        h, w, c = self._sample_hw
+        try:
+            self._out_sharding.shard_shape((n_batch, h, w, c))
+            self._out_sharding.shard_shape((n_batch, h, w))
+            return True
+        except Exception:
+            return False
 
     def batches(self, indices: Sequence[int], batch_size: int, *,
                 shuffle: bool = False, seed: int = 0,

@@ -127,7 +127,6 @@ def main(argv=None):
 
     config = UNetConfig(3, args.classes, bilinear=args.bilinear, arch=args.arch)
     if str(args.model).endswith(".pth"):
-        params, state = init_unet(jax.random.PRNGKey(0), config)
         params, state, _ = import_pth(args.model, config)
     else:
         from tpu_unet.checkpoint import read_checkpoint_meta

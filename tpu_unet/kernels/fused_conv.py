@@ -115,6 +115,7 @@ def fused_conv3x3_scale_relu(
     out = pl.pallas_call(
         functools.partial(_conv_kernel, th=th, apply_relu=apply_relu),
         grid=grid,
+        interpret=jax.default_backend() == "cpu",
         in_specs=[
             pl.BlockSpec((1, th, wp, cin), lambda b, i, c: (b, i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -241,6 +242,7 @@ def fused_conv3x3_concat_scale_relu(
     out = pl.pallas_call(
         functools.partial(_dual_conv_kernel, th=th, apply_relu=apply_relu),
         grid=(n, ht, ct),
+        interpret=jax.default_backend() == "cpu",
         in_specs=[
             slab(ca, 0), slab(ca, 1), slab(cb, 0), slab(cb, 1),
             pl.BlockSpec((3, 3, ca, cob), lambda bi, i, c: (0, 0, 0, c),

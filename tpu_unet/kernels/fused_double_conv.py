@@ -150,6 +150,7 @@ def fused_double_conv(
     out = pl.pallas_call(
         functools.partial(_dc_kernel, th=th, wb=wb, h=h, w_img=w_img),
         grid=(n, ht, wt, ct),
+        interpret=jax.default_backend() == "cpu",
         in_specs=[
             slab(0, 0), slab(1, 0), slab(0, 1), slab(1, 1),
             pl.BlockSpec((3, 3, cin, cmid), lambda b, i, j, c: (0, 0, 0, 0),

@@ -48,6 +48,7 @@ def max_pool2x2(x: jax.Array, *, tile_h: int = 8) -> jax.Array:
     out = pl.pallas_call(
         _pool_kernel,
         grid=(n, ht),
+        interpret=jax.default_backend() == "cpu",
         in_specs=[
             pl.BlockSpec((1, 2 * th, 2 * w2, c), lambda b, i: (b, i, 0, 0),
                          memory_space=pltpu.VMEM),

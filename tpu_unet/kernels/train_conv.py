@@ -231,7 +231,9 @@ def conv3x3_fwd(
             transcendentals=0,
         ),
     )(*operands)
-    z = outs[0][:, :h] if stats else outs[:, :h]
+    # out_shape is always a list, so pallas_call returns a tuple in BOTH
+    # modes — outs[0] is the conv output regardless of stats.
+    z = outs[0][:, :h]
     if stats:
         return z, outs[1]
     return z

@@ -263,8 +263,11 @@ def unet_apply(
     if use_s2d:
         from tpu_unet.ops.s2d import double_conv_s2d
 
+        # first_plain: inc's conv1 has only n_channels (3) inputs — its s2d
+        # form is a 2·2·12-deep contraction, even more MXU-starved than the
+        # original (both variants measured ≈0.65× regardless, BENCH_NOTES r3).
         dc_first = functools.partial(
-            double_conv_s2d, train=train, axis_name=axis_name
+            double_conv_s2d, train=train, axis_name=axis_name, first_plain=True
         )
     if remat:
         dc = jax.checkpoint(dc)

@@ -9,7 +9,8 @@ never trigger recompilation.
 
 torch semantics reproduced (verified in tests/test_optim.py):
   * mode='max', threshold_mode='rel' (defaults): better ⇔ a > best·(1+thr)
-    for best ≥ 0, a > best·(1−thr) for best < 0; threshold=1e-4.
+    unconditionally (torch has NO sign branch — for negative metrics the
+    rel threshold works "backwards", and so does ours); threshold=1e-4.
   * num_bad_epochs > patience → lr = max(lr·factor, min_lr), reset counter,
     enter cooldown (default 0).
 """
@@ -39,15 +40,17 @@ class ReduceLROnPlateau:
             self.best = -math.inf if self.mode == "max" else math.inf
 
     def _is_better(self, a: float) -> bool:
+        # Torch applies the rel threshold UNCONDITIONALLY (no sign branch):
+        # for a negative best under mode='max' the threshold then works
+        # "backwards" — that quirk is part of the parity contract
+        # (tests/test_optim.py asserts it against torch directly).
         if self.mode == "max":
             if self.threshold_mode == "rel":
-                thr = self.best * (1 + self.threshold) if self.best >= 0 else self.best * (1 - self.threshold)
-                return a > thr
+                return a > self.best * (1 + self.threshold)
             return a > self.best + self.threshold
         else:
             if self.threshold_mode == "rel":
-                thr = self.best * (1 - self.threshold) if self.best >= 0 else self.best * (1 + self.threshold)
-                return a < thr
+                return a < self.best * (1 - self.threshold)
             return a < self.best - self.threshold
 
     def step(self, metric: float) -> float:

@@ -243,7 +243,11 @@ def main(argv=None):
         params, state = init_unet(jax.random.PRNGKey(0), config)
         params, state, mask_values, _ = load_checkpoint(args.model, params, state)
     if mask_values is None:
-        mask_values = [0, 1] if args.classes == 1 else list(range(args.classes))
+        # Fall back on the CHECKPOINT-derived class count: a self-describing
+        # .npz may override the CLI's --classes above, and a palette sized
+        # by the stale CLI value would silently zero the extra classes.
+        mask_values = ([0, 1] if config.n_classes == 1
+                       else list(range(config.n_classes)))
     logger.info("Model loaded!")
 
     for i, filename in enumerate(in_files):

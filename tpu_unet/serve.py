@@ -338,10 +338,14 @@ class BatchedPredictor:
                 if self._claim(slot):  # skip requests whose waiter timed out
                     self.metrics.record(time.monotonic() - t_enq)
                 done.set()
-        except Exception as e:  # propagate to every waiter in the group
+        except Exception as e:  # propagate to waiters still in flight
             logger.exception("group %sx%s failed", h, w)
-            self.metrics.record_error(sum(self._claim(batch[k][1]) for k in idxs))
-            for k in idxs:
+            # Only requests whose done event hasn't fired: an item completed
+            # earlier in this group already holds a valid mask and must not
+            # be retroactively turned into a 500.
+            pending = [k for k in idxs if not batch[k][2].is_set()]
+            self.metrics.record_error(sum(self._claim(batch[k][1]) for k in pending))
+            for k in pending:
                 _, slot, done, _ = batch[k]
                 slot["error"] = str(e)
                 done.set()
@@ -567,7 +571,6 @@ def build_predictor(model_path: str, args) -> BatchedPredictor:
     if str(model_path).endswith(".pth"):
         from tpu_unet.checkpoint import import_pth
 
-        params, state = init_unet(jax.random.PRNGKey(0), config)
         params, state, mask_values = import_pth(model_path, config)
     else:
         from tpu_unet.checkpoint import load_checkpoint, read_checkpoint_meta
