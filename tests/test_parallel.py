@@ -227,6 +227,32 @@ def test_spatial_parallel_cli(tmp_path, monkeypatch):
     assert (tmp_path / "ck" / "checkpoint_epoch1.npz").exists()
 
 
+def test_dp_device_dataset_with_odd_val_split(tmp_path):
+    """--data-parallel --device-dataset end-to-end with a val split whose
+    batches DON'T divide the mesh: round-3 regression (the sharded gather
+    crashed at the first validation; self-review r3 #1). Validation runs
+    every step here, exercising the fallback gather repeatedly."""
+    from tpu_unet.data import CarvanaDataset, make_synthetic_carvana
+    from tpu_unet.train import train_model
+
+    # 50 imgs, val 20% -> 10 val / 40 train; batch 8 over 8 devices:
+    # division_step = 40 // 40 = 1 (validation every step); train batches
+    # of 8 shard; val batches are 8 + 2 (the 2 can't shard -> fallback).
+    make_synthetic_carvana(tmp_path / "d", n=50, h=32, w=32)
+    ds = CarvanaDataset(tmp_path / "d" / "imgs", tmp_path / "d" / "masks",
+                        scale=1.0, num_workers=0)
+    config = UNetConfig(3, 1, bilinear=True, base_channels=8)
+    params, state = init_unet(jax.random.PRNGKey(0), config)
+    _, _, hist = train_model(
+        params, state, config, dataset=ds, epochs=1, batch_size=8,
+        learning_rate=1e-3, val_percent=0.2, save_checkpoint_flag=False,
+        seed=0, data_parallel=True, device_dataset=True,
+    )
+    assert len(hist["train_loss"]) == 5  # 40 // 8, drop_last under DP
+    assert hist["val_dice"], "validation must have run"
+    assert all(np.isfinite(v) for v in hist["val_dice"])
+
+
 def test_sharded_eval_matches_host_loop():
     """Sharded validation (VERDICT r2 next #1): evaluate() over the DP mesh
     — batch-sharded inputs, on-device accumulation, one D2H at the end —
