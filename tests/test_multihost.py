@@ -1,0 +1,127 @@
+"""Multi-host SPMD training (parallel/multihost.py): two REAL OS processes
+× 4 virtual CPU devices each (Gloo collectives over localhost) run the real
+train_model and must reproduce the single-process 8-device loss history —
+the strongest multi-host correctness statement available without a pod."""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+
+from tpu_unet.data import CarvanaDataset, make_synthetic_carvana
+from tpu_unet.models import UNetConfig, init_unet
+from tpu_unet.train import train_model
+
+CHILD = r"""
+import json, os, sys
+pid, port, data, ck = int(sys.argv[1]), sys.argv[2], sys.argv[3], sys.argv[4]
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(f"127.0.0.1:{port}", num_processes=2, process_id=pid)
+from pathlib import Path
+from tpu_unet.data import CarvanaDataset
+from tpu_unet.models import UNetConfig, init_unet
+from tpu_unet.train import train_model
+
+ds = CarvanaDataset(f"{data}/imgs", f"{data}/masks", scale=1.0, num_workers=0)
+config = UNetConfig(3, 1, bilinear=True, base_channels=8)
+params, state = init_unet(jax.random.PRNGKey(0), config)
+params, state, hist = train_model(
+    params, state, config, dataset=ds, epochs=2, batch_size=8,
+    learning_rate=1e-3, val_percent=0.2, checkpoint_dir=Path(ck),
+    data_parallel=True, seed=0,
+)
+print("HIST" + json.dumps({"loss": hist["train_loss"],
+                           "dice": hist["val_dice"]}), flush=True)
+"""
+
+
+def _free_port():
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_training_matches_single_process(tmp_path):
+    # 50 imgs, val 20% -> 40 train / 10 val; batch 8 -> 5 steps/epoch and
+    # division_step = 40 // 40 = 1 -> validation EVERY step, exercising the
+    # sharded evaluate() on global arrays (the val split's trailing batch
+    # of 2 is dropped by the multihost loader, logged).
+    make_synthetic_carvana(tmp_path / "d", n=50, h=32, w=32)
+
+    # Reference: single-process run on this test process's 8-device mesh.
+    ds = CarvanaDataset(tmp_path / "d" / "imgs", tmp_path / "d" / "masks",
+                        scale=1.0, num_workers=0)
+    config = UNetConfig(3, 1, bilinear=True, base_channels=8)
+    params, state = init_unet(jax.random.PRNGKey(0), config)
+    _, _, ref_hist = train_model(
+        params, state, config, dataset=ds, epochs=2, batch_size=8,
+        learning_rate=1e-3, val_percent=0.2, save_checkpoint_flag=False,
+        data_parallel=True, seed=0,
+    )
+
+    port = _free_port()
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env.pop("JAX_PLATFORMS", None)  # the child pins cpu via jax.config
+    env["PYTHONPATH"] = "/root/repo" + os.pathsep + env.get("PYTHONPATH", "")
+    script = tmp_path / "child.py"
+    script.write_text(CHILD)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(pid), str(port),
+             str(tmp_path / "d"), str(tmp_path / f"ck{pid}")],
+            env=env, cwd="/root/repo",
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+        for pid in (0, 1)
+    ]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=900)
+        assert p.returncode == 0, f"child failed:\n{out[-2000:]}\n{err[-4000:]}"
+        outs.append(out)
+
+    hists = []
+    for out in outs:
+        line = [l for l in out.splitlines() if l.startswith("HIST")][-1]
+        hists.append(json.loads(line[4:]))
+
+    # Both processes observed the identical (replicated) history...
+    np.testing.assert_allclose(hists[0]["loss"], hists[1]["loss"], rtol=1e-6)
+    assert len(hists[0]["loss"]) == len(ref_hist["train_loss"]) == 10
+    assert len(hists[0]["dice"]) == 10  # validation ran every step
+    np.testing.assert_allclose(hists[0]["dice"], hists[1]["dice"], rtol=1e-6)
+    # ...and it matches the single-process 8-device run (same global batch,
+    # same shuffle, global-batch BN). The first steps agree to ~1e-6; later
+    # steps accumulate fp reassociation drift through the BN backward's
+    # rsqrt amplification (Gloo cross-process reductions reassociate
+    # differently than single-process XLA) — measured growth to ~2e-3 rel
+    # by step 10, same mechanism test_parallel's train-mode comparisons
+    # bound loosely.
+    np.testing.assert_allclose(hists[0]["loss"][:2], ref_hist["train_loss"][:2],
+                               rtol=1e-5)
+    np.testing.assert_allclose(hists[0]["loss"], ref_hist["train_loss"],
+                               rtol=1e-2)
+    # Only process 0 wrote checkpoints.
+    assert (tmp_path / "ck0" / "checkpoint_epoch2.npz").exists()
+    assert not (tmp_path / "ck1").exists()
+
+
+def test_multihost_requires_data_parallel(tmp_path, monkeypatch):
+    """Single-process guard: the multihost loader path demands the mesh."""
+    make_synthetic_carvana(tmp_path / "d", n=4, h=16, w=16)
+    ds = CarvanaDataset(tmp_path / "d" / "imgs", tmp_path / "d" / "masks", scale=1.0,
+                        num_workers=0)
+    config = UNetConfig(3, 1, bilinear=True, base_channels=4)
+    params, state = init_unet(jax.random.PRNGKey(0), config)
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    with pytest.raises(ValueError, match="requires --data-parallel"):
+        train_model(params, state, config, dataset=ds, epochs=1, batch_size=2,
+                    save_checkpoint_flag=False)

@@ -85,7 +85,10 @@ def evaluate(
     for batch in dataloader:
         images = jnp.asarray(batch["image"])
         masks = jnp.asarray(batch["mask"])
-        if sharding is not None and _shardable(sharding, images.shape):
+        if (sharding is not None and images.is_fully_addressable
+                and _shardable(sharding, images.shape)):
+            # Host batches get placed; global (multi-host) arrays from the
+            # MultiHostBatches loader are already laid out on the mesh.
             images = jax.device_put(images, sharding)
             masks = jax.device_put(masks, sharding)
         d, i = eval_step(params, state, images, masks, config=config, amp=amp)

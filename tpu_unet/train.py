@@ -237,7 +237,26 @@ def train_model(
 
     # 3. Data loaders: host decode threads + device double-buffer prefetch,
     # or the HBM-resident corpus (per-step H2D = the index vector).
-    if device_dataset:
+    multihost = jax.process_count() > 1
+    primary = jax.process_index() == 0
+    if multihost:
+        # Multi-host SPMD (parallel/multihost.py): every process loads only
+        # its rows of each global batch and the global arrays feed the same
+        # GSPMD step. Requires --data-parallel (the global mesh IS the
+        # point); the device-resident corpus and host double-buffer
+        # prefetch are single-process features.
+        if not data_parallel:
+            raise ValueError("multi-host training requires --data-parallel")
+        if device_dataset or device_preprocess:
+            raise ValueError("--device-dataset/--device-preprocess are not "
+                             "supported under multi-host yet")
+        from tpu_unet.parallel.multihost import MultiHostBatches
+
+        train_loader = MultiHostBatches(
+            dataset, train_idx, batch_size, sharding, shuffle=True, seed=seed
+        )
+        val_loader = MultiHostBatches(dataset, val_idx, batch_size, sharding)
+    elif device_dataset:
         if device_preprocess:
             raise ValueError("--device-dataset already preprocesses on host once; "
                              "it is mutually exclusive with --device-preprocess")
@@ -276,7 +295,7 @@ def train_model(
         val_loader = wrap(val_loader)
 
     experiment = None
-    if use_wandb:
+    if use_wandb and primary:  # one W&B run per job, not per host
         try:
             import wandb
 
@@ -384,13 +403,13 @@ def train_model(
         pending_losses: list = []
         pending_meta: list = []
         feed = (
-            train_loader  # batches are already device-resident gathers
-            if device_dataset
+            train_loader  # batches are already device-resident / global
+            if device_dataset or multihost
             else prefetch_to_device(train_loader, buffer_size=2, sharding=sharding)
         )
         pbar = (
             tqdm(total=n_train, desc=f"Epoch {epoch}/{epochs}", unit="img", leave=False)
-            if tqdm else None
+            if tqdm and primary else None
         )
         for batch in feed:
             images = jnp.asarray(batch["image"])
@@ -436,7 +455,17 @@ def train_model(
                 history["val_dice"].append(val_dice)
                 history["lr"].append(lr_now)
                 logger.info("Validation Dice score: %f (IoU %f)", val_dice, val_iou)
-                if experiment:
+                if experiment and multihost:
+                    # Multi-host: every jit must be entered by ALL processes,
+                    # but the experiment lives on the primary only — running
+                    # hist_sample_step/predict_logits here would deadlock the
+                    # other hosts. Log the scalars; skip the heavy panel.
+                    experiment.log({
+                        "learning rate": lr_now, "validation Dice": val_dice,
+                        "validation IoU": val_iou, "step": global_step,
+                        "epoch": epoch,
+                    })
+                elif experiment:
                     # Reference parity: weight AND gradient histograms + the
                     # sample triplet (image, true mask, predicted mask) at
                     # each validation (train.py W&B block, SURVEY.md §2 #22).
@@ -487,7 +516,7 @@ def train_model(
             "Epoch %d finished, mean loss %f",
             epoch, float(np.mean(epoch_losses)) if epoch_losses else float("nan"),
         )
-        if save_checkpoint_flag:
+        if save_checkpoint_flag and primary:  # one writer across hosts
             checkpoint_dir.mkdir(parents=True, exist_ok=True)
             # Async: fetch-to-host now, write on a background thread while
             # the next epoch trains.
@@ -512,7 +541,7 @@ def train_model(
         last_epoch = epoch
 
     checkpointer.wait()
-    if save_checkpoint_flag and keep_checkpoints and epochs >= start_epoch:
+    if save_checkpoint_flag and primary and keep_checkpoints and epochs >= start_epoch:
         # Final prune AFTER the writer drains: an epoch whose async write was
         # still queued when its per-epoch prune ran materializes afterwards
         # (unlink(missing_ok) was a no-op), so without this pass more than N
@@ -552,6 +581,19 @@ def get_args(argv=None):
                         help="UNet++ only: per-column output heads, averaged")
     parser.add_argument("--data-parallel", action="store_true", default=False,
                         help="Shard the batch across all visible TPU devices (GSPMD)")
+    parser.add_argument("--multihost", action="store_true", default=False,
+                        help="Multi-host SPMD: call jax.distributed."
+                             "initialize() before device use (one process "
+                             "per TPU host; auto-detects the cluster, or "
+                             "use --coordinator/--num-processes/"
+                             "--process-id). Each host loads only its rows "
+                             "of every global batch; requires "
+                             "--data-parallel")
+    parser.add_argument("--coordinator", type=str, default=None,
+                        help="With --multihost: coordinator address "
+                             "host:port for manual clusters")
+    parser.add_argument("--num-processes", type=int, default=None)
+    parser.add_argument("--process-id", type=int, default=None)
     parser.add_argument("--spatial-parallel", type=int, default=1,
                         help="With --data-parallel: also shard image HEIGHT "
                              "over this many devices (2-D dp×sp mesh; XLA "
@@ -609,6 +651,11 @@ def _default_augment():
 def main(argv=None):
     args = get_args(argv)
     logging.basicConfig(level=logging.INFO, format="%(levelname)s: %(message)s")
+    if args.multihost:
+        # Must run before ANY device use — it forms the global runtime.
+        from tpu_unet.parallel.multihost import initialize
+
+        initialize(args.coordinator, args.num_processes, args.process_id)
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
 
