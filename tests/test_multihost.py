@@ -21,6 +21,7 @@ from tpu_unet.train import train_model
 CHILD = r"""
 import json, os, sys
 pid, port, data, ck = int(sys.argv[1]), sys.argv[2], sys.argv[3], sys.argv[4]
+use_dd = len(sys.argv) > 5 and sys.argv[5] == "dd"
 import jax
 jax.config.update("jax_platforms", "cpu")
 jax.distributed.initialize(f"127.0.0.1:{port}", num_processes=2, process_id=pid)
@@ -35,7 +36,7 @@ params, state = init_unet(jax.random.PRNGKey(0), config)
 params, state, hist = train_model(
     params, state, config, dataset=ds, epochs=2, batch_size=8,
     learning_rate=1e-3, val_percent=0.2, checkpoint_dir=Path(ck),
-    data_parallel=True, seed=0,
+    data_parallel=True, seed=0, device_dataset=use_dd,
 )
 print("HIST" + json.dumps({"loss": hist["train_loss"],
                            "dice": hist["val_dice"]}), flush=True)
@@ -125,3 +126,38 @@ def test_multihost_requires_data_parallel(tmp_path, monkeypatch):
     with pytest.raises(ValueError, match="requires --data-parallel"):
         train_model(params, state, config, dataset=ds, epochs=1, batch_size=2,
                     save_checkpoint_flag=False)
+
+
+def test_two_process_device_dataset(tmp_path):
+    """--device-dataset under multi-host: each process stages only ITS
+    shard of the corpus (per-host rows via _local_row_range +
+    make_array_from_process_local_data) and the GSPMD gather feeds the
+    step. Histories must be identical across processes and finite."""
+    make_synthetic_carvana(tmp_path / "d", n=50, h=32, w=32)
+
+    port = _free_port()
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env.pop("JAX_PLATFORMS", None)
+    env["PYTHONPATH"] = "/root/repo" + os.pathsep + env.get("PYTHONPATH", "")
+    script = tmp_path / "child.py"
+    script.write_text(CHILD)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(pid), str(port),
+             str(tmp_path / "d"), str(tmp_path / f"ck{pid}"), "dd"],
+            env=env, cwd="/root/repo",
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+        for pid in (0, 1)
+    ]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=900)
+        assert p.returncode == 0, f"child failed:\n{out[-2000:]}\n{err[-4000:]}"
+        outs.append(out)
+    hists = [json.loads([l for l in o.splitlines() if l.startswith("HIST")][-1][4:])
+             for o in outs]
+    np.testing.assert_allclose(hists[0]["loss"], hists[1]["loss"], rtol=1e-6)
+    assert len(hists[0]["loss"]) == 10 and all(np.isfinite(hists[0]["loss"]))
+    assert hists[0]["dice"] and np.isfinite(hists[0]["dice"]).all()

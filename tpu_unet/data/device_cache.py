@@ -61,6 +61,30 @@ def _gather_f32(imgs, masks, idx):
     return imgs[idx], masks[idx].astype(jnp.int32)
 
 
+def _local_row_range(sharding, global_shape) -> tuple[int, int]:
+    """The contiguous [lo, hi) row range this process's devices own under a
+    leading-dim sharding (standard process-major mesh order)."""
+    spans = []
+    for dev, idx in sharding.devices_indices_map(tuple(global_shape)).items():
+        if dev.process_index != jax.process_index():
+            continue
+        lo, hi, _ = idx[0].indices(global_shape[0])
+        spans.append((lo, hi))
+    # Dedupe: devices along replicated mesh axes (e.g. 'spatial' when rows
+    # shard only over 'data') own the same row block.
+    spans = sorted(set(spans))
+    lo = spans[0][0]
+    hi = spans[-1][1]
+    covered = sum(b - a for a, b in spans)
+    if covered != hi - lo:
+        raise ValueError(
+            "process-local corpus rows are not contiguous under this mesh "
+            "layout; multi-host --device-dataset needs a process-major "
+            f"'data' axis (got spans {spans})"
+        )
+    return lo, hi
+
+
 class _Batches:
     """Re-iterable view over device-gathered batches (evaluate() re-iterates
     the val split at every validation — 5×/epoch)."""
@@ -94,9 +118,11 @@ class _Batches:
             if (self.parent._gather_fallback is not None
                     and not self.parent._batch_shardable(len(b))):
                 gather = self.parent._gather_fallback
-            x, m = gather(
-                self.parent._images, self.parent._masks, jnp.asarray(b)
-            )
+            # Pass the index vector as a HOST array: jit replicates it, which
+            # under multi-host is exactly the "same value on every process"
+            # contract (a jnp.asarray here would commit it to local devices
+            # and be rejected next to the global corpus operands).
+            x, m = gather(self.parent._images, self.parent._masks, b)
             yield {"image": x, "mask": m}
 
 
@@ -115,16 +141,31 @@ class DeviceResidentData:
         n = len(dataset)
         first = dataset[0]
         h, w, c = first["image"].shape
-        imgs = np.empty((n, h, w, c), np.float32)
-        masks_i = np.empty((n, h, w), np.int64)
+        multihost = data_sharding is not None and jax.process_count() > 1
+        if data_sharding is not None:
+            shards = int(np.prod(list(data_sharding.mesh.shape.values())))
+            pad = (-n) % shards
+            plen = n + pad
+        if multihost:
+            # Multi-host: each process loads and stages ONLY the corpus
+            # rows its local devices own under ``data_sharding`` — no host
+            # ever decodes (or holds) another host's shard. Padded rows
+            # (plen > n) repeat the corpus cyclically, matching the
+            # single-host pad convention; they are never indexed.
+            lo, hi = _local_row_range(data_sharding, (plen, h, w, c))
+            src = [(r if r < n else (r - n) % n) for r in range(lo, hi)]
+        else:
+            src = list(range(n))
+        imgs = np.empty((len(src), h, w, c), np.float32)
+        masks_i = np.empty((len(src), h, w), np.int64)
 
-        def fill(i):
-            s = dataset[i]
-            imgs[i] = s["image"]
-            masks_i[i] = s["mask"]
+        def fill(j):
+            s = dataset[src[j]]
+            imgs[j] = s["image"]
+            masks_i[j] = s["mask"]
 
         with ThreadPoolExecutor(max_workers=num_workers) as pool:
-            list(pool.map(fill, range(n)))
+            list(pool.map(fill, range(len(src))))
 
         assert masks_i.max() < 256, "device-resident masks stage as uint8 (<256 classes)"
         # Chunked uint8 round-trip check: a whole-corpus np.rint(imgs*255)
@@ -133,19 +174,31 @@ class DeviceResidentData:
         # keep the transient O(slab).
         u8 = np.empty(imgs.shape, np.uint8)
         exact = True
-        for lo in range(0, n, 64):
-            sl = imgs[lo : lo + 64]
+        for sl_lo in range(0, len(src), 64):
+            sl = imgs[sl_lo : sl_lo + 64]
             r = np.rint(sl * 255.0)
             if not np.array_equal(r / 255.0, sl):
                 exact = False
                 break
-            u8[lo : lo + 64] = r.astype(np.uint8)
+            u8[sl_lo : sl_lo + 64] = r.astype(np.uint8)
         stage_imgs = u8 if exact else imgs
         del u8
         stage_masks = masks_i.astype(np.uint8)
-        if data_sharding is not None:
-            shards = int(np.prod(list(data_sharding.mesh.shape.values())))
-            pad = (-n) % shards
+        if multihost:
+            # The uint8-exactness decision must agree on every process (a
+            # mixed decision would trace different gather programs and
+            # deadlock) — each process only sees its rows, so require the
+            # exact path outright; it holds for every uint8-sourced image.
+            assert exact, (
+                "multi-host --device-dataset requires the uint8 round-trip "
+                "(preprocessed values must be k/255) — float sources are "
+                "single-host only"
+            )
+            self._images = jax.make_array_from_process_local_data(
+                data_sharding, stage_imgs)
+            self._masks = jax.make_array_from_process_local_data(
+                data_sharding, stage_masks)
+        elif data_sharding is not None:
             if pad:
                 # Repeat rows cyclically: pad may exceed n for tiny corpora
                 # on wide meshes (a plain [:pad] slice would under-pad and

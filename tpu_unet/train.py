@@ -241,15 +241,17 @@ def train_model(
     primary = jax.process_index() == 0
     if multihost:
         # Multi-host SPMD (parallel/multihost.py): every process loads only
-        # its rows of each global batch and the global arrays feed the same
+        # its rows of each global batch (or, with --device-dataset, stages
+        # only its shard of the corpus) and the global arrays feed the same
         # GSPMD step. Requires --data-parallel (the global mesh IS the
-        # point); the device-resident corpus and host double-buffer
-        # prefetch are single-process features.
+        # point); device-preprocess and the host double-buffer prefetch are
+        # single-process features.
         if not data_parallel:
             raise ValueError("multi-host training requires --data-parallel")
-        if device_dataset or device_preprocess:
-            raise ValueError("--device-dataset/--device-preprocess are not "
-                             "supported under multi-host yet")
+        if device_preprocess:
+            raise ValueError("--device-preprocess is not supported under "
+                             "multi-host yet")
+    if multihost and not device_dataset:
         from tpu_unet.parallel.multihost import MultiHostBatches
 
         train_loader = MultiHostBatches(
