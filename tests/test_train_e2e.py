@@ -218,3 +218,29 @@ def test_keep_checkpoints_retention(carvana, tmp_path, monkeypatch):
     ])
     names = sorted(p.name for p in ckpt_dir.glob("checkpoint_epoch*.npz"))
     assert names == ["checkpoint_epoch2.npz", "checkpoint_epoch3.npz"]
+
+
+def test_save_best_and_history_out(carvana, tmp_path, monkeypatch):
+    """--save-best keeps checkpoint_best.npz at the best validation Dice
+    (with the score in its metadata); --history-out writes the history
+    JSON (both beyond-reference trainer conveniences)."""
+    import json
+
+    from tpu_unet.checkpoint import read_checkpoint_meta
+
+    monkeypatch.chdir(tmp_path)
+    ckpt_dir = tmp_path / "ck"
+    hist_path = tmp_path / "hist.json"
+    # 10 imgs, val 20% -> 8 train; batch 1 -> division_step = 8 // 5 = 1:
+    # validation (and best tracking) fires every step.
+    train_main([
+        "-e", "1", "-b", "1", "-l", "1e-3", "-s", "1.0", "-v", "20",
+        "--data-dir", str(carvana), "--checkpoint-dir", str(ckpt_dir),
+        "--save-best", "--history-out", str(hist_path),
+    ])
+    best = ckpt_dir / "checkpoint_best.npz"
+    assert best.exists()
+    hist = json.loads(hist_path.read_text())
+    assert len(hist["train_loss"]) == 8
+    _, extra = read_checkpoint_meta(best)
+    assert extra["val_dice"] == max(hist["val_dice"])

@@ -184,6 +184,7 @@ def train_model(
     val_percent: float = 0.1,
     save_checkpoint_flag: bool = True,
     keep_checkpoints: int | None = None,
+    save_best: bool = False,
     amp: bool = False,
     weight_decay: float = 1e-8,
     momentum: float = 0.999,
@@ -377,6 +378,7 @@ def train_model(
     history = {"train_loss": [], "val_dice": [], "lr": []}
     global_step = 0
     hist_batch = None  # last full-size batch, for W&B histogram sampling
+    best_dice = float("-inf")  # --save-best tracking
     division_step = n_train // (5 * batch_size)
     checkpointer = AsyncCheckpointer()
 
@@ -457,6 +459,23 @@ def train_model(
                 history["val_dice"].append(val_dice)
                 history["lr"].append(lr_now)
                 logger.info("Validation Dice score: %f (IoU %f)", val_dice, val_iou)
+                if save_best and primary and val_dice > best_dice:
+                    # Best-model tracking (beyond-reference): one extra file
+                    # outside the per-epoch series, never touched by
+                    # --keep-checkpoints retention.
+                    best_dice = val_dice
+                    checkpoint_dir.mkdir(parents=True, exist_ok=True)
+                    checkpointer.save(
+                        checkpoint_dir / "checkpoint_best.npz",
+                        params, bn_state,
+                        mask_values=getattr(dataset, "mask_values", None),
+                        extra={"epoch": epoch, "step": global_step,
+                               "val_dice": val_dice, "lr": scheduler.lr,
+                               "config": config._asdict()},
+                        opt_state=opt_state if save_optimizer else None,
+                    )
+                    logger.info("New best val Dice %.4f — checkpoint_best.npz "
+                                "updated", val_dice)
                 if experiment and multihost:
                     # Multi-host: every jit must be entered by ALL processes,
                     # but the experiment lives on the primary only — running
@@ -633,6 +652,13 @@ def get_args(argv=None):
                         help="Retain only the newest N per-epoch checkpoints "
                              "(~124 MB each at 31M params); default keeps "
                              "all, like the reference")
+    parser.add_argument("--save-best", action="store_true", default=False,
+                        help="Additionally keep checkpoint_best.npz, updated "
+                             "whenever validation Dice improves (survives "
+                             "--keep-checkpoints pruning)")
+    parser.add_argument("--history-out", type=str, default=None, metavar="PATH",
+                        help="Write the training history (per-step loss, "
+                             "per-validation Dice/lr) as JSON on exit")
     parser.add_argument("--save-optimizer", action="store_true", default=False,
                         help="Include optimizer state in checkpoints (enables full --resume)")
     parser.add_argument("--resume", type=str, default=None,
@@ -729,6 +755,7 @@ def main(argv=None):
             kernels=None if args.kernels == "xla" else args.kernels,
             spatial_parallel=args.spatial_parallel,
             keep_checkpoints=args.keep_checkpoints,
+            save_best=args.save_best,
             augment=_default_augment() if args.augment else None,
         )
 
@@ -740,14 +767,14 @@ def main(argv=None):
         except Exception as e:  # profiler may be unsupported on some PJRT plugins
             logger.warning("Profiler unavailable (%s); continuing without trace", e)
     try:
-        run(remat=False)
+        result = run(remat=False)
     except Exception as e:  # XLA OOM → remat retry, the reference's fallback
         if "RESOURCE_EXHAUSTED" in str(e) or "Out of memory" in str(e):
             logger.error(
                 "Detected OOM! Enabling activation checkpointing (remat) and retrying. "
                 "Consider reducing --batch-size or --scale."
             )
-            run(remat=True)
+            result = run(remat=True)
         else:
             raise
     finally:
@@ -757,6 +784,12 @@ def main(argv=None):
                 logger.info("Profiler trace written to %s", args.profile)
             except Exception as e:
                 logger.warning("Profiler stop failed: %s", e)
+    if args.history_out and jax.process_index() == 0:
+        import json
+
+        _, _, history = result
+        Path(args.history_out).write_text(json.dumps(history))
+        logger.info("Training history written to %s", args.history_out)
 
 
 if __name__ == "__main__":
