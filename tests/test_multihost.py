@@ -49,6 +49,49 @@ def _free_port():
         return s.getsockname()[1]
 
 
+def _run_children(tmp_path, extra_args=()):
+    """Spawn the 2-process cluster; retry once with a fresh port if the
+    coordinator bind races another process (the bind-close-rebind window of
+    _free_port is a real TOCTOU)."""
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env.pop("JAX_PLATFORMS", None)  # the children pin cpu via jax.config
+    env["PYTHONPATH"] = "/root/repo" + os.pathsep + env.get("PYTHONPATH", "")
+    script = tmp_path / "child.py"
+    script.write_text(CHILD)
+    last = None
+    for attempt in range(2):
+        port = _free_port()
+        procs = [
+            subprocess.Popen(
+                [sys.executable, str(script), str(pid), str(port),
+                 str(tmp_path / "d"), str(tmp_path / f"ck{pid}"), *extra_args],
+                env=env, cwd="/root/repo",
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            )
+            for pid in (0, 1)
+        ]
+        results = [p.communicate(timeout=900) for p in procs]
+        rcs = [p.returncode for p in procs]
+        if all(rc == 0 for rc in rcs):
+            return [out for out, _ in results]
+        last = results
+        if attempt == 0 and any("bind" in err.lower() or "barrier" in err.lower()
+                                for _, err in results):
+            continue  # port stolen between _free_port and initialize: retry
+        break
+    (out0, err0), (out1, err1) = last
+    raise AssertionError(
+        f"children failed (rcs {rcs}):\n{out0[-1000:]}\n{err0[-3000:]}"
+        f"\n---\n{out1[-1000:]}\n{err1[-3000:]}"
+    )
+
+
+def _parse_hists(outs):
+    return [json.loads([l for l in o.splitlines() if l.startswith("HIST")][-1][4:])
+            for o in outs]
+
+
 def test_two_process_training_matches_single_process(tmp_path):
     # 50 imgs, val 20% -> 40 train / 10 val; batch 8 -> 5 steps/epoch and
     # division_step = 40 // 40 = 1 -> validation EVERY step, exercising the
@@ -67,32 +110,7 @@ def test_two_process_training_matches_single_process(tmp_path):
         data_parallel=True, seed=0,
     )
 
-    port = _free_port()
-    env = dict(os.environ)
-    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
-    env.pop("JAX_PLATFORMS", None)  # the child pins cpu via jax.config
-    env["PYTHONPATH"] = "/root/repo" + os.pathsep + env.get("PYTHONPATH", "")
-    script = tmp_path / "child.py"
-    script.write_text(CHILD)
-    procs = [
-        subprocess.Popen(
-            [sys.executable, str(script), str(pid), str(port),
-             str(tmp_path / "d"), str(tmp_path / f"ck{pid}")],
-            env=env, cwd="/root/repo",
-            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
-        )
-        for pid in (0, 1)
-    ]
-    outs = []
-    for p in procs:
-        out, err = p.communicate(timeout=900)
-        assert p.returncode == 0, f"child failed:\n{out[-2000:]}\n{err[-4000:]}"
-        outs.append(out)
-
-    hists = []
-    for out in outs:
-        line = [l for l in out.splitlines() if l.startswith("HIST")][-1]
-        hists.append(json.loads(line[4:]))
+    hists = _parse_hists(_run_children(tmp_path))
 
     # Both processes observed the identical (replicated) history...
     np.testing.assert_allclose(hists[0]["loss"], hists[1]["loss"], rtol=1e-6)
@@ -135,29 +153,23 @@ def test_two_process_device_dataset(tmp_path):
     step. Histories must be identical across processes and finite."""
     make_synthetic_carvana(tmp_path / "d", n=50, h=32, w=32)
 
-    port = _free_port()
-    env = dict(os.environ)
-    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
-    env.pop("JAX_PLATFORMS", None)
-    env["PYTHONPATH"] = "/root/repo" + os.pathsep + env.get("PYTHONPATH", "")
-    script = tmp_path / "child.py"
-    script.write_text(CHILD)
-    procs = [
-        subprocess.Popen(
-            [sys.executable, str(script), str(pid), str(port),
-             str(tmp_path / "d"), str(tmp_path / f"ck{pid}"), "dd"],
-            env=env, cwd="/root/repo",
-            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
-        )
-        for pid in (0, 1)
-    ]
-    outs = []
-    for p in procs:
-        out, err = p.communicate(timeout=900)
-        assert p.returncode == 0, f"child failed:\n{out[-2000:]}\n{err[-4000:]}"
-        outs.append(out)
-    hists = [json.loads([l for l in o.splitlines() if l.startswith("HIST")][-1][4:])
-             for o in outs]
+    hists = _parse_hists(_run_children(tmp_path, extra_args=("dd",)))
     np.testing.assert_allclose(hists[0]["loss"], hists[1]["loss"], rtol=1e-6)
     assert len(hists[0]["loss"]) == 10 and all(np.isfinite(hists[0]["loss"]))
     assert hists[0]["dice"] and np.isfinite(hists[0]["dice"]).all()
+
+
+def test_multihost_tiny_val_split_rejected(tmp_path, monkeypatch):
+    """A val split smaller than the process count can't form even one
+    global batch — must fail loudly, not silently validate nothing (which
+    would hand the plateau scheduler constant 0.0; self-review r3)."""
+    make_synthetic_carvana(tmp_path / "d", n=10, h=16, w=16)
+    ds = CarvanaDataset(tmp_path / "d" / "imgs", tmp_path / "d" / "masks",
+                        scale=1.0, num_workers=0)
+    config = UNetConfig(3, 1, bilinear=True, base_channels=4)
+    params, state = init_unet(jax.random.PRNGKey(0), config)
+    monkeypatch.setattr(jax, "process_count", lambda: 8)
+    with pytest.raises(ValueError, match="smaller than the process count"):
+        train_model(params, state, config, dataset=ds, epochs=1, batch_size=8,
+                    val_percent=0.1, data_parallel=True,
+                    save_checkpoint_flag=False)

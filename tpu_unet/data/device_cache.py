@@ -167,7 +167,11 @@ class DeviceResidentData:
         with ThreadPoolExecutor(max_workers=num_workers) as pool:
             list(pool.map(fill, range(len(src))))
 
-        assert masks_i.max() < 256, "device-resident masks stage as uint8 (<256 classes)"
+        if masks_i.max() >= 256:
+            raise ValueError(
+                "device-resident masks stage as uint8 (<256 classes); got "
+                f"max class index {int(masks_i.max())}"
+            )
         # Chunked uint8 round-trip check: a whole-corpus np.rint(imgs*255)
         # plus its /255 comparison would hold TWO extra float copies of the
         # corpus (~3× host RAM at Carvana scale, ~28 GB); 64-sample slabs
@@ -189,11 +193,15 @@ class DeviceResidentData:
             # mixed decision would trace different gather programs and
             # deadlock) — each process only sees its rows, so require the
             # exact path outright; it holds for every uint8-sourced image.
-            assert exact, (
-                "multi-host --device-dataset requires the uint8 round-trip "
-                "(preprocessed values must be k/255) — float sources are "
-                "single-host only"
-            )
+            if not exact:
+                # A bare assert would vanish under python -O, and a mixed
+                # per-process decision would trace DIFFERENT gather programs
+                # and deadlock the distributed runtime with no diagnostic.
+                raise ValueError(
+                    "multi-host --device-dataset requires the uint8 "
+                    "round-trip (preprocessed values must be k/255) — "
+                    "float-typed sources are single-host only"
+                )
             self._images = jax.make_array_from_process_local_data(
                 data_sharding, stage_imgs)
             self._masks = jax.make_array_from_process_local_data(

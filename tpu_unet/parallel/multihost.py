@@ -109,15 +109,33 @@ class MultiHostBatches:
             # bearing, the SAME permutation on every process.
             np.random.default_rng(self.seed + self.epoch).shuffle(order)
             self.epoch += 1
+        from concurrent.futures import ThreadPoolExecutor
+
         from tpu_unet.data.prefetch import collate
 
         bs = self.batch_size
         local_bs = bs // jax.process_count()
         lo = jax.process_index() * local_bs
-        for i in range(0, len(order) - bs + 1, bs):
+
+        def build(i):
             mine = order[i + lo : i + lo + local_bs]
             local = collate([self.dataset[int(j)] for j in mine])
-            yield {
+            return {
                 k: jax.make_array_from_process_local_data(self.sharding, v)
                 for k, v in local.items()
             }
+
+        # One-batch-ahead host prefetch: the decode/collate/H2D of batch k+1
+        # overlaps the device compute of batch k (the single-host path gets
+        # the same overlap from prefetch_to_device; without it the TPU would
+        # idle through ~300 ms/image host decode at reference scale).
+        starts = list(range(0, len(order) - bs + 1, bs))
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            fut = None
+            for i in starts:
+                nxt = pool.submit(build, i)
+                if fut is not None:
+                    yield fut.result()
+                fut = nxt
+            if fut is not None:
+                yield fut.result()

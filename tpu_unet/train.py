@@ -238,8 +238,10 @@ def train_model(
 
     # 3. Data loaders: host decode threads + device double-buffer prefetch,
     # or the HBM-resident corpus (per-step H2D = the index vector).
+    from tpu_unet.parallel.multihost import is_primary
+
     multihost = jax.process_count() > 1
-    primary = jax.process_index() == 0
+    primary = is_primary()
     if multihost:
         # Multi-host SPMD (parallel/multihost.py): every process loads only
         # its rows of each global batch (or, with --device-dataset, stages
@@ -258,7 +260,20 @@ def train_model(
         train_loader = MultiHostBatches(
             dataset, train_idx, batch_size, sharding, shuffle=True, seed=seed
         )
-        val_loader = MultiHostBatches(dataset, val_idx, batch_size, sharding)
+        # Val batch: the multihost loader drops batches that don't divide
+        # the process count, so a val split smaller than batch_size must
+        # shrink its batch — otherwise validation would silently yield
+        # NOTHING and the plateau scheduler would decay lr on constant 0.0.
+        nproc = jax.process_count()
+        val_batch = min(batch_size, (n_val // nproc) * nproc)
+        if n_val and val_batch == 0:
+            raise ValueError(
+                f"validation split ({n_val} samples) is smaller than the "
+                f"process count ({nproc}); raise --validation or the "
+                "dataset size for multi-host training"
+            )
+        val_loader = MultiHostBatches(dataset, val_idx, val_batch or batch_size,
+                                      sharding)
     elif device_dataset:
         if device_preprocess:
             raise ValueError("--device-dataset already preprocesses on host once; "
@@ -379,6 +394,21 @@ def train_model(
     global_step = 0
     hist_batch = None  # last full-size batch, for W&B histogram sampling
     best_dice = float("-inf")  # --save-best tracking
+    if save_best:
+        # Seed from an existing best checkpoint so a --resume run can't
+        # clobber a better model with its first (worse) validation.
+        best_path = checkpoint_dir / "checkpoint_best.npz"
+        if best_path.exists():
+            from tpu_unet.checkpoint import read_checkpoint_meta
+
+            try:
+                _, best_extra = read_checkpoint_meta(best_path)
+                best_dice = float(best_extra.get("val_dice", best_dice))
+                logger.info("Existing checkpoint_best.npz at val Dice %.4f "
+                            "— only better models will overwrite it", best_dice)
+            except Exception as e:  # unreadable file: treat as absent
+                logger.warning("Could not read %s (%s); starting best "
+                               "tracking fresh", best_path, e)
     division_step = n_train // (5 * batch_size)
     checkpointer = AsyncCheckpointer()
 
@@ -784,7 +814,9 @@ def main(argv=None):
                 logger.info("Profiler trace written to %s", args.profile)
             except Exception as e:
                 logger.warning("Profiler stop failed: %s", e)
-    if args.history_out and jax.process_index() == 0:
+    from tpu_unet.parallel.multihost import is_primary
+
+    if args.history_out and is_primary():
         import json
 
         _, _, history = result
