@@ -469,6 +469,60 @@ def test_artifact_sidecar_mask_values(tmp_path, rng):
         p.stop()
 
 
+def test_sigterm_graceful_shutdown(tmp_path, rng):
+    """SIGTERM (the orchestrator's stop signal) exits the server cleanly:
+    rc 0, predictors drained."""
+    import os
+    import signal
+    import socket
+    import subprocess
+    import sys
+    import time
+
+    from tpu_unet.checkpoint import save_checkpoint
+
+    config = UNetConfig(3, 1, bilinear=True, base_channels=4)
+    params, state = init_unet(jax.random.PRNGKey(0), config)
+    ckpt = tmp_path / "m.npz"
+    save_checkpoint(ckpt, params, state, mask_values=[0, 255],
+                    extra={"config": config._asdict()})
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    wrapper = (
+        "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+        "from tpu_unet.serve import main\n"
+        f"main(['-m', r'{ckpt}', '--port', '{port}', '-s', '1.0'])\n"
+    )
+    env = dict(os.environ)
+    env["PYTHONPATH"] = "/root/repo" + os.pathsep + env.get("PYTHONPATH", "")
+    p = subprocess.Popen([sys.executable, "-c", wrapper], env=env,
+                         stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                         text=True)
+    try:
+        import http.client
+
+        deadline = time.monotonic() + 120
+        up = False
+        while time.monotonic() < deadline:
+            try:
+                conn = http.client.HTTPConnection("127.0.0.1", port, timeout=5)
+                conn.request("GET", "/healthz")
+                if conn.getresponse().status == 200:
+                    up = True
+                    break
+            except OSError:
+                time.sleep(0.2)
+        assert up, "server never came up"
+        p.send_signal(signal.SIGTERM)
+        out, _ = p.communicate(timeout=60)
+        assert p.returncode == 0, out[-2000:]
+        assert "Server stopped" in out
+    finally:
+        if p.poll() is None:
+            p.kill()
+
+
 def test_multi_model_routing(tmp_path, rng):
     """Multi-model serving: /predict/<name> routes to the right model,
     bare /predict hits the default, unknown names 404, and /healthz and

@@ -658,6 +658,21 @@ def main(argv=None):
         "Serving %s on %s:%d (max_batch=%d)",
         ", ".join(n for n, _ in specs), args.host, args.port, args.max_batch,
     )
+    # Graceful SIGTERM (the orchestrator's stop signal in production):
+    # finish in-flight requests, stop accepting, drain the predictors.
+    import signal
+    import threading as _threading
+
+    def _terminate(signum, frame):
+        logger.info("SIGTERM received — shutting down")
+        # shutdown() blocks until serve_forever returns; it must not run on
+        # the signal-handling (main) thread that serve_forever occupies.
+        _threading.Thread(target=server.shutdown, daemon=True).start()
+
+    try:
+        signal.signal(signal.SIGTERM, _terminate)
+    except ValueError:  # not on the main thread (embedded use): skip
+        pass
     try:
         server.serve_forever()
     except KeyboardInterrupt:
@@ -665,6 +680,7 @@ def main(argv=None):
     finally:
         for pr in predictors.values():
             pr.stop()
+        logger.info("Server stopped")
 
 
 if __name__ == "__main__":
