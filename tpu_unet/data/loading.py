@@ -36,6 +36,8 @@ from pathlib import Path
 import numpy as np
 from PIL import Image
 
+from tpu_unet import native as native_preproc
+
 logger = logging.getLogger(__name__)
 
 
@@ -133,10 +135,13 @@ class BasicDataset:
         w, h = pil_img.size
         new_w, new_h = int(scale * w), int(scale * h)
         assert new_w > 0 and new_h > 0, "Scale is too small, resized images would have no pixel"
-        pil_img = pil_img.resize(
-            (new_w, new_h), resample=Image.NEAREST if is_mask else Image.BICUBIC
-        )
-        img = np.asarray(pil_img)
+        resample = Image.NEAREST if is_mask else Image.BICUBIC
+        # Native C++ resampler when available: bit-exact Pillow semantics
+        # (self-check-gated in tpu_unet/native), GIL-free and row-threaded.
+        # Returns None for modes/filters it doesn't serve → PIL fallback.
+        img = native_preproc.pil_resize_native(pil_img, new_w, new_h, resample)
+        if img is None:
+            img = np.asarray(pil_img.resize((new_w, new_h), resample=resample))
 
         if is_mask:
             mask = np.zeros((new_h, new_w), dtype=np.int64)

@@ -1,0 +1,254 @@
+"""Native (C++) host-runtime tier: ctypes bindings + build-on-demand.
+
+The reference's host hot path (decode → resize → normalize) runs in
+torch/Pillow C internals (reference: utils/data_loading.py preprocess,
+UNVERIFIED mount, SURVEY.md §2 #9). This package is the framework's own
+native equivalent: `preproc.cc` reimplements Pillow's fixed-point
+convolution resampling bit-exactly, adds row-parallel threading and a fused
+resize→float32 normalize, and is loaded here via ctypes (no pybind11 in the
+image; ctypes releases the GIL for the call, so Python loader thread pools
+scale across images while each call can also thread across rows).
+
+Safety policy — parity first:
+  * The .so is built on demand with g++ (-O3, no external deps) and cached
+    in `_build/` keyed by a source hash.
+  * Before the native path is ever used, `self_check()` asserts
+    bit-exactness against the installed Pillow on random images for every
+    (filter, channel-count) combination used by the loader. Any mismatch
+    (e.g. a future Pillow changing conventions) disables the path with a
+    warning and the PIL route is used — identical results, just slower.
+  * `TPU_UNET_NATIVE=0` disables it outright; `set_enabled(False)` too.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import logging
+import os
+import subprocess
+import sys
+import threading
+from pathlib import Path
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+_SRC = Path(__file__).with_name("preproc.cc")
+_BUILD_DIR = Path(__file__).with_name("_build")
+
+# Pillow filter ids → native filter ids (preproc.cc FilterId).
+NEAREST, BILINEAR, BICUBIC = 0, 1, 2
+_PIL_TO_NATIVE = {0: NEAREST, 2: BILINEAR, 3: BICUBIC}  # PIL.Image constants
+
+_lock = threading.Lock()
+_lib = None  # ctypes.CDLL once loaded
+_state = "unknown"  # unknown | ok | disabled | failed
+
+
+def _source_hash() -> str:
+    return hashlib.sha256(_SRC.read_bytes()).hexdigest()[:16]
+
+
+def _so_path() -> Path:
+    return _BUILD_DIR / f"libtpu_unet_preproc-{_source_hash()}.so"
+
+
+def build(force: bool = False) -> Path:
+    """Compile preproc.cc into a cached shared library; return its path."""
+    so = _so_path()
+    if so.exists() and not force:
+        return so
+    _BUILD_DIR.mkdir(exist_ok=True)
+    tmp = so.with_suffix(f".tmp{os.getpid()}.so")
+    cmd = [
+        "g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
+        str(_SRC), "-o", str(tmp),
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, text=True,
+                       timeout=120)
+    except (subprocess.CalledProcessError, subprocess.TimeoutExpired,
+            FileNotFoundError) as e:
+        detail = getattr(e, "stderr", "") or str(e)
+        raise RuntimeError(f"native preproc build failed: {detail}") from e
+    tmp.replace(so)  # atomic vs concurrent builders
+    # Keep the cache dir tidy: drop stale hashes.
+    for old in _BUILD_DIR.glob("libtpu_unet_preproc-*.so"):
+        if old != so and ".tmp" not in old.name:
+            try:
+                old.unlink()
+            except OSError:
+                pass
+    logger.info("built native preproc: %s", so.name)
+    return so
+
+
+def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    lib.tu_resize_u8.restype = ctypes.c_int
+    lib.tu_resize_u8.argtypes = [
+        u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+    ]
+    lib.tu_resize_scale_f32.restype = ctypes.c_int
+    lib.tu_resize_scale_f32.argtypes = [
+        u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        f32p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_float,
+        ctypes.c_int,
+    ]
+    lib.tu_u8_to_f32.restype = ctypes.c_int
+    lib.tu_u8_to_f32.argtypes = [
+        u8p, ctypes.c_int64, f32p, ctypes.c_float, ctypes.c_int,
+    ]
+    return lib
+
+
+def _load() -> ctypes.CDLL | None:
+    global _lib, _state
+    with _lock:
+        if _state == "ok":
+            return _lib
+        if _state in ("disabled", "failed"):
+            return None
+        if os.environ.get("TPU_UNET_NATIVE", "1") in ("0", "false", "off"):
+            _state = "disabled"
+            logger.info("native preproc disabled via TPU_UNET_NATIVE")
+            return None
+        try:
+            _lib = _bind(ctypes.CDLL(str(build())))
+        except (RuntimeError, OSError) as e:
+            _state = "failed"
+            logger.warning("native preproc unavailable (%s); using PIL", e)
+            return None
+        if not _self_check(_lib):
+            _state = "failed"
+            _lib = None
+            logger.warning(
+                "native preproc failed the Pillow bit-parity self-check "
+                "(Pillow convention change?); using PIL"
+            )
+            return None
+        _state = "ok"
+        return _lib
+
+
+def _as_hwc(arr: np.ndarray) -> tuple[np.ndarray, int, bool]:
+    """(contiguous HWC view, channels, was_2d)."""
+    was_2d = arr.ndim == 2
+    if was_2d:
+        arr = arr[:, :, None]
+    return np.ascontiguousarray(arr), arr.shape[2], was_2d
+
+
+def resize_u8(arr: np.ndarray, new_h: int, new_w: int, filter: int,
+              n_threads: int = 1) -> np.ndarray:
+    """Resize a uint8 HW / HWC array; bit-exact Pillow semantics."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native preproc not available")
+    src, c, was_2d = _as_hwc(arr)
+    if src.dtype != np.uint8:
+        raise TypeError(f"resize_u8 needs uint8, got {src.dtype}")
+    h, w = src.shape[:2]
+    dst = np.empty((new_h, new_w, c), dtype=np.uint8)
+    rc = lib.tu_resize_u8(
+        src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), h, w, c,
+        dst.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), new_h, new_w,
+        filter, n_threads,
+    )
+    if rc != 0:
+        raise RuntimeError(f"tu_resize_u8 rc={rc}")
+    return dst[:, :, 0] if was_2d else dst
+
+
+def resize_scale_f32(arr: np.ndarray, new_h: int, new_w: int, filter: int,
+                     scale: float, n_threads: int = 1) -> np.ndarray:
+    """Fused resize → float32*scale; == resize_u8(...).astype(f32)*scale."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native preproc not available")
+    src, c, was_2d = _as_hwc(arr)
+    if src.dtype != np.uint8:
+        raise TypeError(f"resize_scale_f32 needs uint8, got {src.dtype}")
+    h, w = src.shape[:2]
+    dst = np.empty((new_h, new_w, c), dtype=np.float32)
+    rc = lib.tu_resize_scale_f32(
+        src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), h, w, c,
+        dst.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), new_h, new_w,
+        filter, scale, n_threads,
+    )
+    if rc != 0:
+        raise RuntimeError(f"tu_resize_scale_f32 rc={rc}")
+    return dst[:, :, 0] if was_2d else dst
+
+
+def _self_check(lib: ctypes.CDLL) -> bool:
+    """Bit-parity vs the installed Pillow on every loader-used combo."""
+    try:
+        from PIL import Image
+    except ImportError:
+        return False
+    rng = np.random.default_rng(0)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    for c in (1, 3):
+        shape = (37, 53) if c == 1 else (37, 53, 3)
+        src = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        pil = Image.fromarray(src)
+        for pil_filter, native_filter in _PIL_TO_NATIVE.items():
+            for new_w, new_h in ((21, 17), (96, 64), (53, 37)):
+                want = np.asarray(pil.resize((new_w, new_h),
+                                             resample=pil_filter))
+                srcc = np.ascontiguousarray(src.reshape(37, 53, c))
+                got = np.empty((new_h, new_w, c), dtype=np.uint8)
+                rc = lib.tu_resize_u8(
+                    srcc.ctypes.data_as(u8p), 37, 53, c,
+                    got.ctypes.data_as(u8p), new_h, new_w, native_filter, 1,
+                )
+                if rc != 0:
+                    return False
+                if not np.array_equal(want.reshape(new_h, new_w, c), got):
+                    return False
+    return True
+
+
+def available() -> bool:
+    """True iff the library is built, loaded and bit-parity-verified."""
+    return _load() is not None
+
+
+def set_enabled(enabled: bool) -> None:
+    """Force-enable/disable at runtime (tests, --no-native-preproc)."""
+    global _state, _lib
+    with _lock:
+        if not enabled:
+            _state = "disabled"
+            _lib = None
+        elif _state == "disabled":
+            _state = "unknown"  # re-probe on next use
+
+
+def pil_resize_native(pil_img, new_w: int, new_h: int, pil_filter: int,
+                      n_threads: int = 1):
+    """Drop-in for `np.asarray(pil_img.resize((w, h), resample=f))`.
+
+    Returns None when the native path can't serve this image (non-uint8
+    mode, unsupported filter, library unavailable) — caller falls back to
+    PIL. Palette ('P') images resize their index band under NEAREST exactly
+    like PIL does, so they are served natively too.
+    """
+    native_filter = _PIL_TO_NATIVE.get(pil_filter)
+    if native_filter is None:
+        return None
+    if pil_img.mode not in ("L", "P", "RGB", "RGBA"):
+        return None
+    if pil_img.mode == "P" and native_filter != NEAREST:
+        return None  # PIL converts P under conv filters; don't reproduce
+    if not available():
+        return None
+    arr = np.asarray(pil_img)
+    if arr.dtype != np.uint8:
+        return None
+    return resize_u8(arr, new_h, new_w, native_filter, n_threads=n_threads)
