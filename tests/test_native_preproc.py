@@ -107,6 +107,167 @@ def test_preprocess_routes_through_native_and_matches_pil(monkeypatch):
     assert out_native_i.dtype == np.float32 and out_native_m.dtype == np.int64
 
 
+def _png_bytes(arr, mode=None):
+    import io
+
+    bio = io.BytesIO()
+    Image.fromarray(arr, mode=mode).save(bio, format="PNG")
+    return bio.getvalue()
+
+
+@pytest.mark.parametrize("mode,shape", [
+    ("L", (37, 53)), ("RGB", (37, 53, 3)), ("RGBA", (37, 53, 4)),
+    ("LA", (37, 53, 2)),
+])
+def test_decode_png_parity_with_pillow(mode, shape):
+    import io
+
+    rng = np.random.default_rng(sum(shape))
+    src = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    data = _png_bytes(src, mode=mode)
+    want = np.asarray(Image.open(io.BytesIO(data)))
+    got = native.decode_png(data)
+    assert got is not None
+    assert np.array_equal(want, got)
+
+
+def test_decode_png_palette_index_band():
+    import io
+
+    rng = np.random.default_rng(5)
+    idx = rng.integers(0, 7, size=(41, 29), dtype=np.uint8)
+    data = _png_bytes(np.asarray(Image.fromarray(idx).convert("P")))
+    pimg = Image.fromarray(idx).convert("P")
+    bio = io.BytesIO()
+    pimg.save(bio, format="PNG")
+    want = np.asarray(Image.open(bio))
+    got = native.decode_png(bio.getvalue())
+    assert got is not None
+    assert np.array_equal(want, got)
+
+
+def _manual_png(recon, filter_id):
+    """Hand-assemble a PNG whose every scanline uses `filter_id`."""
+    import struct
+    import zlib
+
+    h, w, c = recon.shape
+    raw = bytearray()
+    prev = np.zeros((w, c), dtype=np.int32)
+    for y in range(h):
+        row = recon[y].astype(np.int32)
+        if filter_id == 0:
+            filt = row
+        elif filter_id == 1:  # Sub
+            left = np.vstack([np.zeros((1, c), np.int32), row[:-1]])
+            filt = row - left
+        elif filter_id == 2:  # Up
+            filt = row - prev
+        elif filter_id == 3:  # Average
+            left = np.vstack([np.zeros((1, c), np.int32), row[:-1]])
+            filt = row - ((left + prev) >> 1)
+        else:  # Paeth
+            left = np.vstack([np.zeros((1, c), np.int32), row[:-1]])
+            ul = np.vstack([np.zeros((1, c), np.int32), prev[:-1]])
+            p = left + prev - ul
+            pa, pb, pc = abs(p - left), abs(p - prev), abs(p - ul)
+            pred = np.where((pa <= pb) & (pa <= pc), left,
+                            np.where(pb <= pc, prev, ul))
+            filt = row - pred
+        raw.append(filter_id)
+        raw.extend((filt & 0xFF).astype(np.uint8).tobytes())
+        prev = row
+
+    def chunk(typ, payload):
+        out = struct.pack(">I", len(payload)) + typ + payload
+        return out + struct.pack(">I", zlib.crc32(typ + payload) & 0xFFFFFFFF)
+
+    color_type = {1: 0, 3: 2, 4: 6}[c]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+
+
+@pytest.mark.parametrize("filter_id", [0, 1, 2, 3, 4])
+@pytest.mark.parametrize("c", [1, 3, 4])
+def test_decode_png_every_filter(filter_id, c):
+    """Force each scanline filter (PIL's encoder picks adaptively, so the
+    parity tests above don't guarantee coverage of all five)."""
+    import io
+
+    rng = np.random.default_rng(filter_id * 10 + c)
+    recon = rng.integers(0, 256, size=(13, 17, c), dtype=np.uint8)
+    data = _manual_png(recon, filter_id)
+    want = np.asarray(Image.open(io.BytesIO(data)))  # PIL accepts it
+    got = native.decode_png(data)
+    assert got is not None
+    assert np.array_equal(want.reshape(13, 17, c), got.reshape(13, 17, c))
+
+
+def test_decode_png_declines_out_of_scope():
+    # 16-bit and interlaced → None (PIL fallback); garbage → None.
+    import io
+
+    src = (np.arange(64).reshape(8, 8) * 1021 % 65536).astype(np.uint16)
+    bio = io.BytesIO()
+    Image.fromarray(src, mode="I;16").save(bio, "PNG")
+    assert native.decode_png(bio.getvalue()) is None
+    # Interlaced: flip IHDR's interlace byte (offset 8+8+12) to Adam7.
+    src8 = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    bio2 = io.BytesIO()
+    Image.fromarray(src8).save(bio2, "PNG")
+    data = bytearray(bio2.getvalue())
+    assert data[8 + 8 + 12] == 0
+    data[8 + 8 + 12] = 1
+    assert native.decode_png(bytes(data)) is None
+    assert native.decode_png(b"definitely not a png") is None
+    assert native.decode_png(b"") is None
+
+
+def test_asarray_fast_file_paths(tmp_path):
+    rng = np.random.default_rng(8)
+    src = rng.integers(0, 256, size=(50, 70, 3), dtype=np.uint8)
+    p = tmp_path / "img.png"
+    Image.fromarray(src).save(p)
+    lazy = Image.open(p)
+    want = np.asarray(Image.open(p))
+    assert np.array_equal(native.asarray_fast(lazy), want)
+    # Already-loaded image takes the PIL route; identical output.
+    loaded = Image.open(p)
+    loaded.load()
+    assert np.array_equal(native.asarray_fast(loaded), want)
+    # Non-file image (fromarray) falls back.
+    mem = Image.fromarray(src)
+    assert np.array_equal(native.asarray_fast(mem), src)
+
+
+def test_dataset_native_decode_matches_pil(tmp_path):
+    """BasicDataset sample with native decode on ≡ native off."""
+    from tpu_unet.data.loading import BasicDataset
+
+    rng = np.random.default_rng(13)
+    (tmp_path / "imgs").mkdir()
+    (tmp_path / "masks").mkdir()
+    for i in range(2):
+        img = rng.integers(0, 256, size=(48, 64, 3), dtype=np.uint8)
+        msk = (rng.integers(0, 2, size=(48, 64)) * 255).astype(np.uint8)
+        Image.fromarray(img).save(tmp_path / "imgs" / f"s_{i}.png")
+        Image.fromarray(msk).save(tmp_path / "masks" / f"s_{i}.png")
+    ds_native = BasicDataset(str(tmp_path / "imgs"), str(tmp_path / "masks"),
+                             scale=0.7)
+    a = ds_native[0]
+    native.set_enabled(False)
+    try:
+        ds_pil = BasicDataset(str(tmp_path / "imgs"), str(tmp_path / "masks"),
+                              scale=0.7)
+        b = ds_pil[0]
+    finally:
+        native.set_enabled(True)
+    np.testing.assert_array_equal(a["image"], b["image"])
+    np.testing.assert_array_equal(a["mask"], b["mask"])
+
+
 def test_env_kill_switch(monkeypatch):
     """TPU_UNET_NATIVE=0 disables the path (state probe honors env)."""
     native.set_enabled(False)

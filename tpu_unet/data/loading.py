@@ -57,7 +57,7 @@ def load_image(filename) -> Image.Image:
 def unique_mask_values(idx, mask_dir: Path, mask_suffix: str):
     """Unique pixel values of one mask file (pool worker fn)."""
     mask_file = list(mask_dir.glob(idx + mask_suffix + ".*"))[0]
-    mask = np.asarray(load_image(mask_file))
+    mask = native_preproc.asarray_fast(load_image(mask_file))
     if mask.ndim == 2:
         return np.unique(mask)
     elif mask.ndim == 3:
@@ -214,10 +214,11 @@ class RawDataset(BasicDataset):
             f"RawDataset requires uniform image sizes; {name} is {img.size}, "
             f"expected {(self.raw_w, self.raw_h)}"
         )
-        img_arr = np.asarray(img)
+        img_arr = native_preproc.asarray_fast(img)
         if img_arr.ndim == 2:
             img_arr = img_arr[..., None]
-        return {"image": img_arr.astype(np.uint8), "mask": np.asarray(mask)}
+        return {"image": img_arr.astype(np.uint8),
+                "mask": native_preproc.asarray_fast(mask)}
 
 
 class RawCarvanaDataset(RawDataset):

@@ -5,9 +5,11 @@ torch/Pillow C internals (reference: utils/data_loading.py preprocess,
 UNVERIFIED mount, SURVEY.md §2 #9). This package is the framework's own
 native equivalent: `preproc.cc` reimplements Pillow's fixed-point
 convolution resampling bit-exactly, adds row-parallel threading and a fused
-resize→float32 normalize, and is loaded here via ctypes (no pybind11 in the
-image; ctypes releases the GIL for the call, so Python loader thread pools
-scale across images while each call can also thread across rows).
+resize→float32 normalize; `decode.cc` decodes 8-bit PNGs (zlib inflate +
+unfilter) so the whole decode→resize→normalize chain runs outside Python.
+Both are loaded here via ctypes (no pybind11 in the image; ctypes releases
+the GIL for the call, so Python loader thread pools scale across images
+while each call can also thread across rows).
 
 Safety policy — parity first:
   * The .so is built on demand with g++ (-O3, no external deps) and cached
@@ -47,8 +49,16 @@ _lib = None  # ctypes.CDLL once loaded
 _state = "unknown"  # unknown | ok | disabled | failed
 
 
+def _sources() -> list[Path]:
+    return sorted(Path(__file__).parent.glob("*.cc"))
+
+
 def _source_hash() -> str:
-    return hashlib.sha256(_SRC.read_bytes()).hexdigest()[:16]
+    h = hashlib.sha256()
+    for src in _sources():
+        h.update(src.name.encode())
+        h.update(src.read_bytes())
+    return h.hexdigest()[:16]
 
 
 def _so_path() -> Path:
@@ -64,7 +74,7 @@ def build(force: bool = False) -> Path:
     tmp = so.with_suffix(f".tmp{os.getpid()}.so")
     cmd = [
         "g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
-        str(_SRC), "-o", str(tmp),
+        *[str(s) for s in _sources()], "-o", str(tmp), "-lz",
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, text=True,
@@ -103,6 +113,11 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.tu_u8_to_f32.argtypes = [
         u8p, ctypes.c_int64, f32p, ctypes.c_float, ctypes.c_int,
     ]
+    intp = ctypes.POINTER(ctypes.c_int)
+    lib.tu_png_probe.restype = ctypes.c_int
+    lib.tu_png_probe.argtypes = [u8p, ctypes.c_int64, intp, intp, intp, intp]
+    lib.tu_png_decode.restype = ctypes.c_int
+    lib.tu_png_decode.argtypes = [u8p, ctypes.c_int64, u8p]
     return lib
 
 
@@ -185,6 +200,85 @@ def resize_scale_f32(arr: np.ndarray, new_h: int, new_w: int, filter: int,
     return dst[:, :, 0] if was_2d else dst
 
 
+def decode_png(data: bytes) -> np.ndarray | None:
+    """Decode a PNG byte string natively; None when out of scope.
+
+    Returns HW (gray / palette index band) or HWC uint8 — exactly what
+    ``np.asarray(PIL.Image.open(...))`` gives for the same bytes. Scope:
+    8-bit non-interlaced gray/RGB/LA/RGBA/palette (decode.cc); anything
+    else (16-bit, interlaced, 1-bit, non-PNG) returns None for PIL
+    fallback.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    return _decode_png_raw(lib, data)
+
+
+def _decode_png_raw(lib: ctypes.CDLL, data: bytes) -> np.ndarray | None:
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    h = ctypes.c_int()
+    w = ctypes.c_int()
+    c = ctypes.c_int()
+    pal = ctypes.c_int()
+    buf = (ctypes.c_uint8 * len(data)).from_buffer_copy(data)
+    src = ctypes.cast(buf, u8p)
+    if lib.tu_png_probe(src, len(data), ctypes.byref(h), ctypes.byref(w),
+                        ctypes.byref(c), ctypes.byref(pal)) != 0:
+        return None
+    dst = np.empty((h.value, w.value, c.value), dtype=np.uint8)
+    if lib.tu_png_decode(src, len(data), dst.ctypes.data_as(u8p)) != 0:
+        return None
+    return dst[:, :, 0] if c.value == 1 else dst
+
+
+_MODE_CHANNELS = {"L": 1, "P": 1, "LA": 2, "RGB": 3, "RGBA": 4}
+
+
+def asarray_fast(pil_img) -> np.ndarray:
+    """``np.asarray(pil_img)``, decoding PNG files natively when possible.
+
+    The fast path triggers only for a lazy (not-yet-loaded) ``Image.open``
+    of a .png file whose decoded shape matches the PIL-reported mode/size;
+    every other case — including any decode failure — falls back to PIL's
+    own decoder. Output is bit-identical either way (PNG is lossless and
+    decode.cc is parity-self-checked).
+    """
+    arr = _maybe_decode_file(pil_img)
+    return np.asarray(pil_img) if arr is None else arr
+
+
+def _maybe_decode_file(pil_img) -> np.ndarray | None:
+    try:
+        filename = getattr(pil_img, "filename", "")
+        if (
+            not filename
+            or getattr(pil_img, "format", None) != "PNG"
+            or pil_img.mode not in _MODE_CHANNELS
+        ):
+            return None
+        # Skip if PIL already decoded (re-decoding would be wasted work).
+        # Pillow ≥11 stores the core image in `_im` (`im` asserts when
+        # lazy); older Pillow has a plain `im` attribute.
+        loaded = (pil_img._im if hasattr(pil_img, "_im")
+                  else pil_img.__dict__.get("im"))
+        if loaded is not None:
+            return None
+        lib = _load()
+        if lib is None:
+            return None
+        arr = _decode_png_raw(lib, Path(filename).read_bytes())
+        if arr is None:
+            return None
+        channels = arr.shape[2] if arr.ndim == 3 else 1
+        w, h = pil_img.size
+        if arr.shape[:2] != (h, w) or channels != _MODE_CHANNELS[pil_img.mode]:
+            return None  # file changed underfoot or probe/mode mismatch
+        return arr
+    except (OSError, ValueError):
+        return None
+
+
 def _self_check(lib: ctypes.CDLL) -> bool:
     """Bit-parity vs the installed Pillow on every loader-used combo."""
     try:
@@ -211,6 +305,37 @@ def _self_check(lib: ctypes.CDLL) -> bool:
                     return False
                 if not np.array_equal(want.reshape(new_h, new_w, c), got):
                     return False
+    return _self_check_png(lib)
+
+
+def _self_check_png(lib: ctypes.CDLL) -> bool:
+    """PNG decode bit-parity vs Pillow for every loader-relevant mode."""
+    import io
+
+    from PIL import Image
+
+    rng = np.random.default_rng(1)
+    for mode, shape in (("L", (23, 31)), ("RGB", (23, 31, 3)),
+                        ("RGBA", (23, 31, 4)), ("LA", (23, 31, 2))):
+        src = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        bio = io.BytesIO()
+        Image.fromarray(src, mode=mode).save(bio, format="PNG")
+        want = np.asarray(Image.open(bio))
+        got = _decode_png_raw(lib, bio.getvalue())
+        if got is None or not np.array_equal(want, got):
+            return False
+    # Palette: the decoder must emit the raw index band, like np.asarray.
+    idx = rng.integers(0, 5, size=(19, 27), dtype=np.uint8)
+    pimg = Image.fromarray(idx).convert("P")
+    bio = io.BytesIO()
+    pimg.save(bio, format="PNG")
+    want = np.asarray(Image.open(bio))
+    got = _decode_png_raw(lib, bio.getvalue())
+    if got is None or not np.array_equal(want, got):
+        return False
+    # Out-of-scope inputs must decline, not misdecode.
+    if _decode_png_raw(lib, b"not a png at all") is not None:
+        return False
     return True
 
 
@@ -248,7 +373,9 @@ def pil_resize_native(pil_img, new_w: int, new_h: int, pil_filter: int,
         return None  # PIL converts P under conv filters; don't reproduce
     if not available():
         return None
-    arr = np.asarray(pil_img)
+    arr = _maybe_decode_file(pil_img)  # native PNG decode when possible
+    if arr is None:
+        arr = np.asarray(pil_img)
     if arr.dtype != np.uint8:
         return None
     return resize_u8(arr, new_h, new_w, native_filter, n_threads=n_threads)
