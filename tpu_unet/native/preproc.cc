@@ -139,50 +139,101 @@ void parallel_rows(int rows, int n_threads,
 }
 
 // Horizontal pass: src is (rows_in_use, w, c) starting at row y_offset of
-// the full source; dst is (rows_in_use, new_w, c).
-void resample_horizontal(const uint8_t* src, int w, int c, int y_first,
-                         int y_last, uint8_t* dst, int new_w, int ksize,
-                         const std::vector<int>& bounds,
-                         const std::vector<int32_t>& kk, int n_threads) {
+// the full source; dst is (rows_in_use, new_w, c). The channel count is a
+// template parameter so the per-pixel accumulator loop fully unrolls
+// (Pillow gets the same effect from its fixed 4-byte RGBX pixel layout).
+template <int C>
+void resample_horizontal_c(const uint8_t* src, int w, int y_first,
+                           int y_last, uint8_t* dst, int new_w, int ksize,
+                           const std::vector<int>& bounds,
+                           const std::vector<int32_t>& kk, int n_threads) {
   parallel_rows(y_last - y_first, n_threads, [&](int lo, int hi) {
     for (int yy = lo; yy < hi; yy++) {
       const uint8_t* srow =
-          src + static_cast<size_t>(y_first + yy) * w * c;
-      uint8_t* drow = dst + static_cast<size_t>(yy) * new_w * c;
+          src + static_cast<size_t>(y_first + yy) * w * C;
+      uint8_t* drow = dst + static_cast<size_t>(yy) * new_w * C;
       for (int xx = 0; xx < new_w; xx++) {
         const int xmin = bounds[xx * 2 + 0];
         const int xmax = bounds[xx * 2 + 1];
         const int32_t* k = &kk[static_cast<size_t>(xx) * ksize];
-        for (int ch = 0; ch < c; ch++) {
-          int32_t ss = 1 << (kPrecisionBits - 1);
-          for (int x = 0; x < xmax; x++) {
-            ss += srow[static_cast<size_t>(xmin + x) * c + ch] * k[x];
-          }
-          drow[static_cast<size_t>(xx) * c + ch] = clip8(ss);
+        int32_t ss[C];
+        for (int ch = 0; ch < C; ch++) ss[ch] = 1 << (kPrecisionBits - 1);
+        const uint8_t* sp = srow + static_cast<size_t>(xmin) * C;
+        for (int x = 0; x < xmax; x++) {
+          const int32_t kv = k[x];
+          for (int ch = 0; ch < C; ch++) ss[ch] += sp[ch] * kv;
+          sp += C;
+        }
+        for (int ch = 0; ch < C; ch++) {
+          drow[static_cast<size_t>(xx) * C + ch] = clip8(ss[ch]);
         }
       }
     }
   });
 }
 
+void resample_horizontal(const uint8_t* src, int w, int c, int y_first,
+                         int y_last, uint8_t* dst, int new_w, int ksize,
+                         const std::vector<int>& bounds,
+                         const std::vector<int32_t>& kk, int n_threads) {
+  switch (c) {
+    case 1: return resample_horizontal_c<1>(src, w, y_first, y_last, dst,
+                                            new_w, ksize, bounds, kk,
+                                            n_threads);
+    case 2: return resample_horizontal_c<2>(src, w, y_first, y_last, dst,
+                                            new_w, ksize, bounds, kk,
+                                            n_threads);
+    case 3: return resample_horizontal_c<3>(src, w, y_first, y_last, dst,
+                                            new_w, ksize, bounds, kk,
+                                            n_threads);
+    case 4: return resample_horizontal_c<4>(src, w, y_first, y_last, dst,
+                                            new_w, ksize, bounds, kk,
+                                            n_threads);
+    default:  // c in (4, 8]: generic runtime-channel loop
+      parallel_rows(y_last - y_first, n_threads, [&](int lo, int hi) {
+        for (int yy = lo; yy < hi; yy++) {
+          const uint8_t* srow = src + static_cast<size_t>(y_first + yy) * w * c;
+          uint8_t* drow = dst + static_cast<size_t>(yy) * new_w * c;
+          for (int xx = 0; xx < new_w; xx++) {
+            const int xmin = bounds[xx * 2 + 0];
+            const int xmax = bounds[xx * 2 + 1];
+            const int32_t* k = &kk[static_cast<size_t>(xx) * ksize];
+            for (int ch = 0; ch < c; ch++) {
+              int32_t ss = 1 << (kPrecisionBits - 1);
+              for (int x = 0; x < xmax; x++) {
+                ss += srow[static_cast<size_t>(xmin + x) * c + ch] * k[x];
+              }
+              drow[static_cast<size_t>(xx) * c + ch] = clip8(ss);
+            }
+          }
+        }
+      });
+  }
+}
+
 // Vertical pass: src is (h_in_use, w, c) (bounds already shifted by the
-// caller when a horizontal pass preceded); dst is (new_h, w, c).
+// caller when a horizontal pass preceded); dst is (new_h, w, c). Taps are
+// the OUTER loop so every inner loop streams one contiguous source row —
+// the same cache-friendly order Pillow uses; a per-thread int32 row
+// accumulator carries the fixed-point sums between taps.
 void resample_vertical(const uint8_t* src, int w, int c, uint8_t* dst,
                        int new_h, int ksize, const std::vector<int>& bounds,
                        const std::vector<int32_t>& kk, int n_threads) {
+  const size_t row = static_cast<size_t>(w) * c;
   parallel_rows(new_h, n_threads, [&](int lo, int hi) {
+    std::vector<int32_t> acc(row);
     for (int yy = lo; yy < hi; yy++) {
       const int ymin = bounds[yy * 2 + 0];
       const int ymax = bounds[yy * 2 + 1];
       const int32_t* k = &kk[static_cast<size_t>(yy) * ksize];
-      uint8_t* drow = dst + static_cast<size_t>(yy) * w * c;
-      for (int x = 0; x < w * c; x++) {
-        int32_t ss = 1 << (kPrecisionBits - 1);
-        for (int y = 0; y < ymax; y++) {
-          ss += src[(static_cast<size_t>(ymin + y) * w * c) + x] * k[y];
-        }
-        drow[x] = clip8(ss);
+      std::fill(acc.begin(), acc.end(), 1 << (kPrecisionBits - 1));
+      for (int y = 0; y < ymax; y++) {
+        const uint8_t* srow = src + static_cast<size_t>(ymin + y) * row;
+        const int32_t kv = k[y];
+        for (size_t x = 0; x < row; x++) acc[x] += srow[x] * kv;
       }
+      uint8_t* drow = dst + static_cast<size_t>(yy) * row;
+      for (size_t x = 0; x < row; x++) drow[x] = clip8(acc[x]);
     }
   });
 }
