@@ -43,13 +43,49 @@ print("HIST" + json.dumps({"loss": hist["train_loss"],
 """
 
 
+CHILD_INT = r"""
+import json, os, signal, sys
+pid, port, data, ck = int(sys.argv[1]), sys.argv[2], sys.argv[3], sys.argv[4]
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(f"127.0.0.1:{port}", num_processes=2, process_id=pid)
+from pathlib import Path
+from tpu_unet.data import CarvanaDataset
+from tpu_unet.models import UNetConfig, init_unet
+import tpu_unet.train as train_mod
+
+ds = CarvanaDataset(f"{data}/imgs", f"{data}/masks", scale=1.0, num_workers=0)
+config = UNetConfig(3, 1, bilinear=True, base_channels=8)
+params, state = init_unet(jax.random.PRNGKey(0), config)
+
+# Asymmetric preemption: ONLY the primary gets SIGTERM (at its 2nd
+# validation). The broadcast at that validation step must stop process 1
+# too — a unilateral break would hang this 2-process cluster.
+real_eval = train_mod.evaluate
+calls = {"n": 0}
+def eval_hook(*a, **k):
+    calls["n"] += 1
+    if calls["n"] == 2 and pid == 0:
+        os.kill(os.getpid(), signal.SIGTERM)
+    return real_eval(*a, **k)
+train_mod.evaluate = eval_hook
+
+params, state, hist = train_mod.train_model(
+    params, state, config, dataset=ds, epochs=2, batch_size=8,
+    learning_rate=1e-3, val_percent=0.2, checkpoint_dir=Path(ck),
+    data_parallel=True, seed=0)
+print("HIST" + json.dumps({"loss": hist["train_loss"],
+                           "dice": hist["val_dice"]}), flush=True)
+"""
+
+
 def _free_port():
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
         return s.getsockname()[1]
 
 
-def _run_children(tmp_path, extra_args=()):
+def _run_children(tmp_path, extra_args=(), script_text=None):
     """Spawn the 2-process cluster; retry once with a fresh port if the
     coordinator bind races another process (the bind-close-rebind window of
     _free_port is a real TOCTOU)."""
@@ -58,7 +94,7 @@ def _run_children(tmp_path, extra_args=()):
     env.pop("JAX_PLATFORMS", None)  # the children pin cpu via jax.config
     env["PYTHONPATH"] = "/root/repo" + os.pathsep + env.get("PYTHONPATH", "")
     script = tmp_path / "child.py"
-    script.write_text(CHILD)
+    script.write_text(CHILD if script_text is None else script_text)
     last = None
     for attempt in range(2):
         port = _free_port()
@@ -157,6 +193,26 @@ def test_two_process_device_dataset(tmp_path):
     np.testing.assert_allclose(hists[0]["loss"], hists[1]["loss"], rtol=1e-6)
     assert len(hists[0]["loss"]) == 10 and all(np.isfinite(hists[0]["loss"]))
     assert hists[0]["dice"] and np.isfinite(hists[0]["dice"]).all()
+
+
+def test_two_process_synchronized_interrupt(tmp_path):
+    """Preemption under multi-host: SIGTERM delivered to the PRIMARY only
+    must stop BOTH processes at the same (validation-synchronized) batch,
+    with a resumable INTERRUPTED.npz from the primary — the asymmetric
+    delivery case, where an unsynchronized break would hang the peer in
+    the next step's collectives (see train_model's broadcast stop)."""
+    make_synthetic_carvana(tmp_path / "d", n=50, h=32, w=32)
+    hists = _parse_hists(_run_children(tmp_path, script_text=CHILD_INT))
+    # division_step = 40//40 = 1 → validation every step; signal at
+    # validation #2 ⇒ both stop after exactly 2 of the 10 steps.
+    assert len(hists[0]["loss"]) == len(hists[1]["loss"]) == 2
+    np.testing.assert_allclose(hists[0]["loss"], hists[1]["loss"], rtol=1e-6)
+    assert (tmp_path / "ck0" / "INTERRUPTED.npz").exists()
+    assert not (tmp_path / "ck1").exists()
+    from tpu_unet.checkpoint import read_checkpoint_meta
+
+    _, extra = read_checkpoint_meta(tmp_path / "ck0" / "INTERRUPTED.npz")
+    assert bool(extra.get("interrupted", False))
 
 
 def test_multihost_tiny_val_split_rejected(tmp_path, monkeypatch):

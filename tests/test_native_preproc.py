@@ -225,6 +225,23 @@ def test_decode_png_declines_out_of_scope():
     assert native.decode_png(b"") is None
 
 
+def test_decode_png_rejects_crc_corruption():
+    """Pillow raises on critical-chunk CRC mismatch; the native path must
+    decline (PIL fallback surfaces the proper error), never misdecode."""
+    src = np.arange(192, dtype=np.uint8).reshape(8, 8, 3)
+    data = bytearray(_png_bytes(src))
+    # Flip one byte inside the IDAT payload (not its CRC field): find IDAT.
+    i = data.find(b"IDAT")
+    assert i > 0
+    data[i + 6] ^= 0xFF
+    assert native.decode_png(bytes(data)) is None
+    # IHDR corruption too (flip the stored IHDR CRC itself).
+    data2 = bytearray(_png_bytes(src))
+    j = data2.find(b"IHDR")
+    data2[j + 4 + 13] ^= 0xFF  # first CRC byte after the 13-byte payload
+    assert native.decode_png(bytes(data2)) is None
+
+
 def test_asarray_fast_file_paths(tmp_path):
     rng = np.random.default_rng(8)
     src = rng.integers(0, 256, size=(50, 70, 3), dtype=np.uint8)

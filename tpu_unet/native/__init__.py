@@ -158,9 +158,21 @@ def _as_hwc(arr: np.ndarray) -> tuple[np.ndarray, int, bool]:
     return np.ascontiguousarray(arr), arr.shape[2], was_2d
 
 
+def _default_threads() -> int:
+    """Row-parallelism default: 1, or TPU_UNET_NATIVE_THREADS (serving
+    hosts with many cores can cut single-image latency; thread count never
+    changes results — asserted by test_threaded_matches_single_thread)."""
+    try:
+        return max(1, int(os.environ.get("TPU_UNET_NATIVE_THREADS", "1")))
+    except ValueError:
+        return 1
+
+
 def resize_u8(arr: np.ndarray, new_h: int, new_w: int, filter: int,
-              n_threads: int = 1) -> np.ndarray:
+              n_threads: int | None = None) -> np.ndarray:
     """Resize a uint8 HW / HWC array; bit-exact Pillow semantics."""
+    if n_threads is None:
+        n_threads = _default_threads()
     lib = _load()
     if lib is None:
         raise RuntimeError("native preproc not available")
@@ -180,8 +192,10 @@ def resize_u8(arr: np.ndarray, new_h: int, new_w: int, filter: int,
 
 
 def resize_scale_f32(arr: np.ndarray, new_h: int, new_w: int, filter: int,
-                     scale: float, n_threads: int = 1) -> np.ndarray:
+                     scale: float, n_threads: int | None = None) -> np.ndarray:
     """Fused resize → float32*scale; == resize_u8(...).astype(f32)*scale."""
+    if n_threads is None:
+        n_threads = _default_threads()
     lib = _load()
     if lib is None:
         raise RuntimeError("native preproc not available")
@@ -356,7 +370,7 @@ def set_enabled(enabled: bool) -> None:
 
 
 def pil_resize_native(pil_img, new_w: int, new_h: int, pil_filter: int,
-                      n_threads: int = 1):
+                      n_threads: int | None = None):
     """Drop-in for `np.asarray(pil_img.resize((w, h), resample=f))`.
 
     Returns None when the native path can't serve this image (non-uint8

@@ -49,12 +49,24 @@ struct PngInfo {
 
 const uint8_t kSig[8] = {137, 80, 78, 71, 13, 10, 26, 10};
 
+// Chunk CRC over type+data, as the spec defines. Pillow rejects critical
+// chunks with bad CRCs (SyntaxError), so the native path must match that
+// error surface — a mismatch here returns kCorrupt and the caller falls
+// back to PIL, which raises properly.
+bool chunk_crc_ok(const uint8_t* type, uint32_t data_len) {
+  const uint32_t want = be32(type + 4 + data_len);
+  const uint32_t got =
+      crc32(crc32(0L, Z_NULL, 0), type, 4 + data_len) & 0xFFFFFFFFu;
+  return want == got;
+}
+
 // Parse the header far enough to know shape/type. Returns kOk/kUnsupported/
 // kCorrupt.
 int parse_ihdr(const uint8_t* data, int64_t len, PngInfo* info) {
   if (len < 8 + 25 || std::memcmp(data, kSig, 8) != 0) return kCorrupt;
   const uint8_t* p = data + 8;
   if (be32(p) != 13 || std::memcmp(p + 4, "IHDR", 4) != 0) return kCorrupt;
+  if (!chunk_crc_ok(p + 4, 13)) return kCorrupt;
   const uint8_t* ih = p + 8;
   info->w = be32(ih);
   info->h = be32(ih + 4);
@@ -101,28 +113,36 @@ int inflate_idat(const uint8_t* data, int64_t len, std::vector<uint8_t>& raw) {
 
   int rc = kCorrupt;
   bool done = false;
+  bool bad = false;
   const uint8_t* p = data + 8 + 25;  // past signature + IHDR
   while (p + 12 <= data + len) {
     const uint32_t clen = be32(p);
     const uint8_t* ctype = p + 4;
     const uint8_t* cdata = p + 8;
-    if (cdata + clen + 4 > data + len) break;  // truncated chunk
+    if (cdata + clen + 4 > data + len) {
+      bad = true;  // truncated chunk
+      break;
+    }
     if (std::memcmp(ctype, "IDAT", 4) == 0) {
+      if (!chunk_crc_ok(ctype, clen)) {
+        bad = true;  // Pillow raises on critical-chunk CRC mismatch
+        break;
+      }
       zs.next_in = const_cast<uint8_t*>(cdata);
       zs.avail_in = clen;
       const int zrc = inflate(&zs, Z_NO_FLUSH);
       if (zrc == Z_STREAM_END) {
         done = true;
       } else if (zrc != Z_OK && zrc != Z_BUF_ERROR) {
+        bad = true;
         break;
       }
     } else if (std::memcmp(ctype, "IEND", 4) == 0) {
-      rc = (done && zs.avail_out == 0) ? kOk : kCorrupt;
       break;
     }
     p = cdata + clen + 4;  // skip data + CRC
   }
-  if (done && zs.avail_out == 0) rc = kOk;
+  if (!bad && done && zs.avail_out == 0) rc = kOk;
   inflateEnd(&zs);
   return rc;
 }

@@ -412,6 +412,55 @@ def train_model(
     division_step = n_train // (5 * batch_size)
     checkpointer = AsyncCheckpointer()
 
+    # Preemption-safe training: production pods stop with SIGTERM + a grace
+    # period; interactive runs stop with Ctrl-C. Either sets a flag the step
+    # loop honors at the next safe boundary, saving a fully-resumable
+    # INTERRUPTED.npz (params+BN+optimizer+scheduler+epoch) before returning
+    # normally. The legacy reference saved INTERRUPTED.pth on
+    # KeyboardInterrupt (reference: legacy train.py __main__, UNVERIFIED
+    # mount — same contingency class as SURVEY.md §A.1); here it is the
+    # checkpoint/resume machinery, so nothing is lost but the tail of the
+    # current epoch. A second Ctrl-C aborts immediately.
+    import signal as _signal
+    import threading as _threading
+
+    stop_requested = {"set": False}
+    _prev_handlers: dict = {}
+    if _threading.current_thread() is _threading.main_thread():
+        def _on_stop_signal(signum, frame):
+            if stop_requested["set"] and signum == _signal.SIGINT:
+                raise KeyboardInterrupt  # second Ctrl-C: abort now
+            stop_requested["set"] = True
+            logger.info(
+                "%s received — will save a resumable checkpoint and stop at "
+                "the next batch boundary", _signal.Signals(signum).name,
+            )
+        for _sig in (_signal.SIGTERM, _signal.SIGINT):
+            _prev_handlers[_sig] = _signal.signal(_sig, _on_stop_signal)
+
+    def _interrupt_save():
+        """Save INTERRUPTED.npz with the full resumable state (primary only)."""
+        if not primary:
+            return None
+        checkpoint_dir.mkdir(parents=True, exist_ok=True)
+        path = checkpoint_dir / "INTERRUPTED.npz"
+        checkpointer.save(
+            path, params, bn_state,
+            mask_values=getattr(dataset, "mask_values", None),
+            # epoch-1: the interrupted epoch is incomplete, so --resume
+            # re-runs it from its start (optimizer/scheduler state intact).
+            extra={"epoch": epoch - 1, "step": global_step,
+                   "lr": scheduler.lr, "interrupted": True,
+                   "scheduler": scheduler.state_dict(),
+                   "config": config._asdict()},
+            opt_state=opt_state,  # always included: resumability is the point
+        )
+        return path
+
+    interrupted = False
+    epoch = start_epoch  # defined even if the loop body never runs
+    last_epoch = start_epoch - 1
+
     try:
         from tqdm import tqdm
     except ImportError:  # progress bars are cosmetic; never required
@@ -433,163 +482,192 @@ def train_model(
             pending_losses.clear()
             pending_meta.clear()
 
-    for epoch in range(start_epoch, epochs + 1):
-        pending_losses: list = []
-        pending_meta: list = []
-        feed = (
-            train_loader  # batches are already device-resident / global
-            if device_dataset or multihost
-            else prefetch_to_device(train_loader, buffer_size=2, sharding=sharding)
-        )
-        pbar = (
-            tqdm(total=n_train, desc=f"Epoch {epoch}/{epochs}", unit="img", leave=False)
-            if tqdm and primary else None
-        )
-        for batch in feed:
-            images = jnp.asarray(batch["image"])
-            masks = jnp.asarray(batch["mask"])
-            if augment is not None:
-                # Device-side augmentation (beyond-reference, data/augment.py):
-                # one jitted program over the already-resident batch, keyed by
-                # (seed, global_step) so every draw is reproducible regardless
-                # of host iteration timing.
-                from tpu_unet.data.augment import augment_batch
-
-                akey = jax.random.fold_in(jax.random.PRNGKey(seed), global_step)
-                images, masks = augment_batch(akey, images, masks, config=augment)
-            params, bn_state, opt_state, loss, _ = train_step(
-                params, bn_state, opt_state, images, masks,
-                jnp.float32(scheduler.lr),
+    try:
+        for epoch in range(start_epoch, epochs + 1):
+            pending_losses: list = []
+            pending_meta: list = []
+            feed = (
+                train_loader  # batches are already device-resident / global
+                if device_dataset or multihost
+                else prefetch_to_device(train_loader, buffer_size=2, sharding=sharding)
             )
-            global_step += 1
-            if experiment is not None and images.shape[0] == batch_size:
-                # Histograms sample the last FULL batch: a trailing partial
-                # batch would hand hist_sample_step a second shape and cost
-                # another full fwd+bwd compile (~10 min through the relay)
-                # mid-training. images/masks are not donated, so holding the
-                # reference keeps exactly one extra batch alive.
-                hist_batch = (images, masks)
-            # Keep the loss on device: a float() here costs a full D2H sync
-            # (~29 ms on the relay) EVERY step; values (and wandb step logs)
-            # are fetched lazily at validation/epoch boundaries instead.
-            pending_losses.append(loss)
-            pending_meta.append((global_step, epoch))
-            if pbar:
-                # Postfix updates ride the lazy drain (validation/epoch
-                # boundaries) — a float(loss) here would reintroduce the
-                # very D2H sync the comment above avoids.
-                pbar.update(images.shape[0])
+            pbar = (
+                tqdm(total=n_train, desc=f"Epoch {epoch}/{epochs}", unit="img", leave=False)
+                if tqdm and primary else None
+            )
+            for batch in feed:
+                if stop_requested["set"] and not multihost:
+                    interrupted = True  # single-host: act at this batch boundary
+                    break
+                images = jnp.asarray(batch["image"])
+                masks = jnp.asarray(batch["mask"])
+                if augment is not None:
+                    # Device-side augmentation (beyond-reference, data/augment.py):
+                    # one jitted program over the already-resident batch, keyed by
+                    # (seed, global_step) so every draw is reproducible regardless
+                    # of host iteration timing.
+                    from tpu_unet.data.augment import augment_batch
 
-            # Validation 5×/epoch, reference cadence.
-            if division_step > 0 and global_step % division_step == 0:
-                drain_losses()
-                val_dice, val_iou = evaluate(params, bn_state, val_loader, config,
-                                             amp, sharding=sharding)
-                lr_now = scheduler.step(val_dice)
-                history["val_dice"].append(val_dice)
-                history["lr"].append(lr_now)
-                logger.info("Validation Dice score: %f (IoU %f)", val_dice, val_iou)
-                if save_best and primary and val_dice > best_dice:
-                    # Best-model tracking (beyond-reference): one extra file
-                    # outside the per-epoch series, never touched by
-                    # --keep-checkpoints retention.
-                    best_dice = val_dice
-                    checkpoint_dir.mkdir(parents=True, exist_ok=True)
-                    checkpointer.save(
-                        checkpoint_dir / "checkpoint_best.npz",
-                        params, bn_state,
-                        mask_values=getattr(dataset, "mask_values", None),
-                        extra={"epoch": epoch, "step": global_step,
-                               "val_dice": val_dice, "lr": scheduler.lr,
-                               "config": config._asdict()},
-                        opt_state=opt_state if save_optimizer else None,
-                    )
-                    logger.info("New best val Dice %.4f — checkpoint_best.npz "
-                                "updated", val_dice)
-                if experiment and multihost:
-                    # Multi-host: every jit must be entered by ALL processes,
-                    # but the experiment lives on the primary only — running
-                    # hist_sample_step/predict_logits here would deadlock the
-                    # other hosts. Log the scalars; skip the heavy panel.
-                    experiment.log({
-                        "learning rate": lr_now, "validation Dice": val_dice,
-                        "validation IoU": val_iou, "step": global_step,
-                        "epoch": epoch,
-                    })
-                elif experiment:
-                    # Reference parity: weight AND gradient histograms + the
-                    # sample triplet (image, true mask, predicted mask) at
-                    # each validation (train.py W&B block, SURVEY.md §2 #22).
-                    # Both trees come back subsampled from one compiled step
-                    # (hist_sample_step above) — a few MB per validation.
-                    import wandb
+                    akey = jax.random.fold_in(jax.random.PRNGKey(seed), global_step)
+                    images, masks = augment_batch(akey, images, masks, config=augment)
+                params, bn_state, opt_state, loss, _ = train_step(
+                    params, bn_state, opt_state, images, masks,
+                    jnp.float32(scheduler.lr),
+                )
+                global_step += 1
+                if experiment is not None and images.shape[0] == batch_size:
+                    # Histograms sample the last FULL batch: a trailing partial
+                    # batch would hand hist_sample_step a second shape and cost
+                    # another full fwd+bwd compile (~10 min through the relay)
+                    # mid-training. images/masks are not donated, so holding the
+                    # reference keeps exactly one extra batch alive.
+                    hist_batch = (images, masks)
+                # Keep the loss on device: a float() here costs a full D2H sync
+                # (~29 ms on the relay) EVERY step; values (and wandb step logs)
+                # are fetched lazily at validation/epoch boundaries instead.
+                pending_losses.append(loss)
+                pending_meta.append((global_step, epoch))
+                if pbar:
+                    # Postfix updates ride the lazy drain (validation/epoch
+                    # boundaries) — a float(loss) here would reintroduce the
+                    # very D2H sync the comment above avoids.
+                    pbar.update(images.shape[0])
 
-                    h_imgs, h_masks = hist_batch if hist_batch else (images, masks)
-                    w_sub, g_sub = jax.device_get(
-                        hist_sample_step(params, bn_state, h_imgs, h_masks)
-                    )
+                # Validation 5×/epoch, reference cadence.
+                if division_step > 0 and global_step % division_step == 0:
+                    drain_losses()
+                    val_dice, val_iou = evaluate(params, bn_state, val_loader, config,
+                                                 amp, sharding=sharding)
+                    lr_now = scheduler.step(val_dice)
+                    history["val_dice"].append(val_dice)
+                    history["lr"].append(lr_now)
+                    logger.info("Validation Dice score: %f (IoU %f)", val_dice, val_iou)
+                    if save_best and primary and val_dice > best_dice:
+                        # Best-model tracking (beyond-reference): one extra file
+                        # outside the per-epoch series, never touched by
+                        # --keep-checkpoints retention.
+                        best_dice = val_dice
+                        checkpoint_dir.mkdir(parents=True, exist_ok=True)
+                        checkpointer.save(
+                            checkpoint_dir / "checkpoint_best.npz",
+                            params, bn_state,
+                            mask_values=getattr(dataset, "mask_values", None),
+                            extra={"epoch": epoch, "step": global_step,
+                                   "val_dice": val_dice, "lr": scheduler.lr,
+                                   "config": config._asdict()},
+                            opt_state=opt_state if save_optimizer else None,
+                        )
+                        logger.info("New best val Dice %.4f — checkpoint_best.npz "
+                                    "updated", val_dice)
+                    if experiment and multihost:
+                        # Multi-host: every jit must be entered by ALL processes,
+                        # but the experiment lives on the primary only — running
+                        # hist_sample_step/predict_logits here would deadlock the
+                        # other hosts. Log the scalars; skip the heavy panel.
+                        experiment.log({
+                            "learning rate": lr_now, "validation Dice": val_dice,
+                            "validation IoU": val_iou, "step": global_step,
+                            "epoch": epoch,
+                        })
+                    elif experiment:
+                        # Reference parity: weight AND gradient histograms + the
+                        # sample triplet (image, true mask, predicted mask) at
+                        # each validation (train.py W&B block, SURVEY.md §2 #22).
+                        # Both trees come back subsampled from one compiled step
+                        # (hist_sample_step above) — a few MB per validation.
+                        import wandb
 
-                    def tree_histograms(tree, prefix):
-                        out = {}
-                        if tree is None:
+                        h_imgs, h_masks = hist_batch if hist_batch else (images, masks)
+                        w_sub, g_sub = jax.device_get(
+                            hist_sample_step(params, bn_state, h_imgs, h_masks)
+                        )
+
+                        def tree_histograms(tree, prefix):
+                            out = {}
+                            if tree is None:
+                                return out
+                            for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+                                key = prefix + "/".join(
+                                    str(getattr(p, "key", p)) for p in path
+                                )
+                                vals = np.asarray(leaf).ravel()
+                                if np.all(np.isfinite(vals)):  # reference skips inf/nan
+                                    out[key] = wandb.Histogram(vals)
                             return out
-                        for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
-                            key = prefix + "/".join(
-                                str(getattr(p, "key", p)) for p in path
-                            )
-                            vals = np.asarray(leaf).ravel()
-                            if np.all(np.isfinite(vals)):  # reference skips inf/nan
-                                out[key] = wandb.Histogram(vals)
-                        return out
 
-                    lg = predict_logits(params, bn_state, images[:1])
-                    if config.n_classes > 1:
-                        pred0 = np.asarray(jnp.argmax(lg[0], axis=-1))
-                    else:
-                        pred0 = np.asarray(jax.nn.sigmoid(lg[0, ..., 0]) > 0.5)
-                    experiment.log({
-                        "learning rate": lr_now, "validation Dice": val_dice,
-                        "validation IoU": val_iou, "step": global_step, "epoch": epoch,
-                        "images": wandb.Image(np.asarray(images[0])),
-                        "masks": {
-                            "true": wandb.Image(np.asarray(masks[0]).astype(np.float32)),
-                            "pred": wandb.Image(pred0.astype(np.float32)),
-                        },
-                        **tree_histograms(w_sub, "Weights/"),
-                        **tree_histograms(g_sub, "Gradients/"),
-                    })
+                        lg = predict_logits(params, bn_state, images[:1])
+                        if config.n_classes > 1:
+                            pred0 = np.asarray(jnp.argmax(lg[0], axis=-1))
+                        else:
+                            pred0 = np.asarray(jax.nn.sigmoid(lg[0, ..., 0]) > 0.5)
+                        experiment.log({
+                            "learning rate": lr_now, "validation Dice": val_dice,
+                            "validation IoU": val_iou, "step": global_step, "epoch": epoch,
+                            "images": wandb.Image(np.asarray(images[0])),
+                            "masks": {
+                                "true": wandb.Image(np.asarray(masks[0]).astype(np.float32)),
+                                "pred": wandb.Image(pred0.astype(np.float32)),
+                            },
+                            **tree_histograms(w_sub, "Weights/"),
+                            **tree_histograms(g_sub, "Gradients/"),
+                        })
+                    if multihost:
+                        # Synchronized stop: every process reaches this division
+                        # step, so broadcasting the PRIMARY's SIGTERM/SIGINT flag
+                        # makes all hosts leave the loop at the same batch — a
+                        # unilateral local break would strand the other hosts in
+                        # the next step's collectives.
+                        from jax.experimental import multihost_utils
 
-        if pbar:
-            pbar.close()
-        drain_losses()
-        epoch_losses = history["train_loss"][-len(train_loader):]
-        logger.info(
-            "Epoch %d finished, mean loss %f",
-            epoch, float(np.mean(epoch_losses)) if epoch_losses else float("nan"),
-        )
-        if save_checkpoint_flag and primary:  # one writer across hosts
-            checkpoint_dir.mkdir(parents=True, exist_ok=True)
-            # Async: fetch-to-host now, write on a background thread while
-            # the next epoch trains.
-            checkpointer.save(
-                checkpoint_dir / f"checkpoint_epoch{epoch}.npz",
-                params, bn_state,
-                mask_values=getattr(dataset, "mask_values", None),
-                # Self-describing checkpoints: loaders rebuild the exact
-                # model config (arch, classes, deep supervision, ...).
-                extra={"epoch": epoch, "lr": scheduler.lr,
-                       "scheduler": scheduler.state_dict(),
-                       "config": config._asdict()},
-                opt_state=opt_state if save_optimizer else None,
+                        interrupted = bool(multihost_utils.broadcast_one_to_all(
+                            np.int32(1 if stop_requested["set"] else 0)))
+                if interrupted:
+                    break
+
+            if pbar:
+                pbar.close()
+            drain_losses()
+            if interrupted:
+                ipath = _interrupt_save()
+                if ipath is not None:
+                    logger.info("Training interrupted — resumable checkpoint "
+                                "saved to %s (continue with --resume %s)",
+                                ipath, ipath)
+                break
+            epoch_losses = history["train_loss"][-len(train_loader):]
+            logger.info(
+                "Epoch %d finished, mean loss %f",
+                epoch, float(np.mean(epoch_losses)) if epoch_losses else float("nan"),
             )
-            logger.info("Checkpoint %d saved!", epoch)
-            if keep_checkpoints:
-                # Retention (beyond-reference; the reference keeps every
-                # epoch — ~124 MB each at 31M params): prune epochs older
-                # than the newest N. Only strictly-older files are touched,
-                # so the async write of THIS epoch is never raced.
-                _prune_checkpoints(checkpoint_dir, epoch, keep_checkpoints)
-        last_epoch = epoch
+            if save_checkpoint_flag and primary:  # one writer across hosts
+                checkpoint_dir.mkdir(parents=True, exist_ok=True)
+                # Async: fetch-to-host now, write on a background thread while
+                # the next epoch trains.
+                checkpointer.save(
+                    checkpoint_dir / f"checkpoint_epoch{epoch}.npz",
+                    params, bn_state,
+                    mask_values=getattr(dataset, "mask_values", None),
+                    # Self-describing checkpoints: loaders rebuild the exact
+                    # model config (arch, classes, deep supervision, ...).
+                    extra={"epoch": epoch, "lr": scheduler.lr,
+                           "scheduler": scheduler.state_dict(),
+                           "config": config._asdict()},
+                    opt_state=opt_state if save_optimizer else None,
+                )
+                logger.info("Checkpoint %d saved!", epoch)
+                if keep_checkpoints:
+                    # Retention (beyond-reference; the reference keeps every
+                    # epoch — ~124 MB each at 31M params): prune epochs older
+                    # than the newest N. Only strictly-older files are touched,
+                    # so the async write of THIS epoch is never raced.
+                    _prune_checkpoints(checkpoint_dir, epoch, keep_checkpoints)
+            last_epoch = epoch
+    finally:
+        # Always restore the caller's handlers: a leaked no-op SIGTERM
+        # handler would make the process un-stoppable afterwards.
+        for _sig, _h in _prev_handlers.items():
+            _signal.signal(_sig, _h)
+
 
     checkpointer.wait()
     if save_checkpoint_flag and primary and keep_checkpoints and epochs >= start_epoch:
