@@ -1,0 +1,155 @@
+"""Tensor (channel) parallelism for the conv families — GSPMD 'model' axis.
+
+The reference has no distributed code (SURVEY.md §2.2); data and spatial
+parallelism live in parallel/mesh.py. This module adds the third mesh axis:
+**tensor parallelism**, sharding the channel dimension of every DoubleConv
+so each device holds 1/tp of the weights, optimizer state, and (between the
+two convs of a block) 1/tp of the activations.
+
+TPU-native design — Megatron-style column→row pairing, expressed purely as
+GSPMD shardings (no hand-written collectives):
+
+  * ``conv1.w`` [3,3,Cin,Cmid] shards on **Cout** (`P(None,None,None,'model')`)
+    → its output activations are channel-sharded; BN1 γ/β and running stats
+    shard the same way (BN statistics reduce over N,H,W — per-channel, so a
+    channel shard computes its own stats with no cross-device term).
+  * ``conv2.w`` [3,3,Cmid,Cout] shards on **Cin** (`P(None,None,'model',None)`)
+    → the contraction over the sharded Cmid is partial per device and XLA
+    inserts exactly ONE all-reduce per DoubleConv over ICI; BN2 and the
+    block output are replicated, so pooling/upsample/concat boundaries need
+    no resharding.
+
+  Everything that is not a DoubleConv (transposed-conv upsamplers, 1×1
+  output heads) is replicated — they are a rounding error of the parameter
+  and FLOP budget.
+
+This composes with the existing axes: the full mesh is
+('data', 'spatial', 'model'), batch sharded over 'data', image height over
+'spatial', channels over 'model'. Gradients of replicated params reduce over
+'data' exactly as in plain DP (XLA inserts the psums); gradients of sharded
+params are themselves sharded — the optimizer update runs shard-local.
+
+When to use: dp×sp already covers the flagship's scaling (activations
+dominate a 31M-param convnet). The 'model' axis is for param-/optimizer-
+dominated regimes — wide variants (base_channels ≥ 256 quadruples params
+16×) where replicated RMSprop state (2 fp32 trees) would not fit per-chip
+HBM, or serving many-channel models from a pod slice.
+
+Numerics: sharding the Cmid contraction changes the reduction ORDER of the
+conv2 accumulation (partials + one all-reduce), so results match the
+single-device program to fp32 round-off, not bitwise —
+tests/test_tensor_parallel.py pins the tolerance.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from tpu_unet.ops import BNState
+
+_DC_KEYS = {"conv1", "bn1", "conv2", "bn2"}
+
+
+def make_mesh_3d(model: int, spatial: int = 1, n_devices: int | None = None) -> Mesh:
+    """('data', 'spatial', 'model') mesh; data axis takes the remainder.
+
+    Axis order puts 'model' innermost: on real slices, consecutive device
+    ids are ICI neighbors, and the per-DoubleConv all-reduce (the chattiest
+    collective here) then rides the shortest rings.
+    """
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    if len(devices) % (spatial * model):
+        raise ValueError(
+            f"{len(devices)} devices not divisible by "
+            f"spatial·model = {spatial}·{model}"
+        )
+    grid = np.array(devices).reshape(-1, spatial, model)
+    return Mesh(grid, ("data", "spatial", "model"))
+
+
+def _is_double_conv_params(node) -> bool:
+    return isinstance(node, dict) and _DC_KEYS <= set(node.keys())
+
+
+def _replicate_tree(tree):
+    return jax.tree.map(lambda _: P(), tree)
+
+
+def unet_param_specs(params, tp: int):
+    """PartitionSpec pytree (same structure as ``params``) for the pairing.
+
+    Blocks whose mid-channel count does not divide ``tp`` stay replicated —
+    correctness never depends on sharding, so an odd block (e.g. a tiny
+    custom base_channels) degrades to DP semantics instead of erroring.
+    """
+
+    def walk(node):
+        if _is_double_conv_params(node):
+            cmid = node["conv1"]["w"].shape[3]
+            if cmid % tp:
+                return _replicate_tree(node)
+            specs = {
+                "conv1": {"w": P(None, None, None, "model")},
+                "bn1": {"scale": P("model"), "bias": P("model")},
+                "conv2": {"w": P(None, None, "model", None)},
+                "bn2": {"scale": P(), "bias": P()},
+            }
+            # DoubleConv never carries extra keys today; tolerate future ones.
+            for k in node:
+                if k not in specs:
+                    specs[k] = _replicate_tree(node[k])
+            return specs
+        if isinstance(node, dict):
+            return {k: walk(v) for k, v in node.items()}
+        return _replicate_tree(node)
+
+    return walk(params)
+
+
+def unet_state_specs(state, tp: int):
+    """Specs for the BN running-stats tree: bn1 sharded with its channels."""
+
+    def walk(node):
+        if (isinstance(node, dict) and {"bn1", "bn2"} <= set(node.keys())
+                and isinstance(node["bn1"], BNState)):
+            c = node["bn1"].mean.shape[0]
+            s1 = P("model") if c % tp == 0 else P()
+            return {
+                "bn1": BNState(mean=s1, var=s1),
+                "bn2": BNState(mean=P(), var=P()),
+                **{k: walk(v) for k, v in node.items() if k not in ("bn1", "bn2")},
+            }
+        if isinstance(node, dict):
+            return {k: walk(v) for k, v in node.items()}
+        return _replicate_tree(node)
+
+    return walk(state)
+
+
+def _place(mesh: Mesh, tree, specs):
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), tree, specs
+    )
+
+
+def shard_model(mesh: Mesh, params, bn_state):
+    """Place (params, bn_state) with the tensor-parallel shardings."""
+    tp = mesh.shape["model"]
+    return (
+        _place(mesh, params, unet_param_specs(params, tp)),
+        _place(mesh, bn_state, unet_state_specs(bn_state, tp)),
+    )
+
+
+def shard_opt_state(mesh: Mesh, opt_state, params):
+    """RMSprop state mirrors the params tree — shard it identically, so the
+    optimizer update stays shard-local (no gather of the fp32 state trees)."""
+    tp = mesh.shape["model"]
+    specs = unet_param_specs(params, tp)
+    return type(opt_state)(
+        *(_place(mesh, tree, specs) for tree in opt_state)
+    )

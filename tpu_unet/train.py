@@ -200,9 +200,15 @@ def train_model(
     device_dataset: bool = False,
     kernels: str | None = None,
     spatial_parallel: int = 1,
+    tensor_parallel: int = 1,
     augment=None,
 ):
     """The reference's train_model, TPU-native. Returns (params, bn_state, history)."""
+    if tensor_parallel > 1 and not data_parallel:
+        # The 'model' axis is part of the one global mesh; a tp-only run is
+        # the degenerate mesh with data axis 1, reached the same way.
+        raise ValueError("--tensor-parallel requires --data-parallel "
+                         "(the data axis may still end up size 1)")
     # 1–2. Split into train / validation partitions (torch randperm parity).
     train_idx, val_idx = random_split_indices(len(dataset), val_percent, seed=seed)
     n_train, n_val = len(train_idx), len(val_idx)
@@ -212,7 +218,22 @@ def train_model(
     step_mesh = None
     mesh = None
     if data_parallel and jax.device_count() > 1:
-        if spatial_parallel > 1:
+        if tensor_parallel > 1:
+            # 3-D dp×sp×tp GSPMD: batch over 'data', image height over
+            # 'spatial', DoubleConv channels over 'model' (Megatron-style
+            # column→row pairing expressed as weight shardings —
+            # parallel/tensor.py). For param/optimizer-dominated regimes
+            # (wide base_channels) where replicated RMSprop state would not
+            # fit per-chip HBM.
+            if kernels == "pallas":
+                raise ValueError(
+                    "--kernels pallas data parallelism is 1-D (shard_map); "
+                    "--tensor-parallel requires the XLA backend"
+                )
+            from tpu_unet.parallel.tensor import make_mesh_3d
+
+            mesh = make_mesh_3d(model=tensor_parallel, spatial=spatial_parallel)
+        elif spatial_parallel > 1:
             # 2-D dp×sp GSPMD: batch over 'data', image height over
             # 'spatial' (XLA spatially partitions the convs and inserts the
             # halo exchanges). For when chips outnumber the batch or one
@@ -226,9 +247,14 @@ def train_model(
         else:
             mesh = make_mesh()
         sharding = image_sharding(mesh)
-        rep = replicated(mesh)
-        params = jax.device_put(params, rep)
-        bn_state = jax.device_put(bn_state, rep)
+        if tensor_parallel > 1:
+            from tpu_unet.parallel.tensor import shard_model
+
+            params, bn_state = shard_model(mesh, params, bn_state)
+        else:
+            rep = replicated(mesh)
+            params = jax.device_put(params, rep)
+            bn_state = jax.device_put(bn_state, rep)
         if kernels == "pallas":
             # pallas_call is not auto-partitionable under GSPMD, so the DP
             # step runs under shard_map instead: each device runs the fused
@@ -349,12 +375,24 @@ def train_model(
             scheduler.lr = float(extra.get("lr", learning_rate))
         logger.info("Resumed from %s at epoch %d (lr %g)", resume, start_epoch, scheduler.lr)
         if sharding is not None:
-            # Re-replicate: the load placed the restored trees on one device.
-            rep = replicated(sharding.mesh)
-            params = jax.device_put(params, rep)
-            bn_state = jax.device_put(bn_state, rep)
+            # Re-place: the load put the restored trees on one device.
+            if tensor_parallel > 1:
+                from tpu_unet.parallel.tensor import shard_model
+
+                params, bn_state = shard_model(mesh, params, bn_state)
+            else:
+                rep = replicated(sharding.mesh)
+                params = jax.device_put(params, rep)
+                bn_state = jax.device_put(bn_state, rep)
     if sharding is not None:
-        opt_state = jax.device_put(opt_state, replicated(sharding.mesh))
+        if tensor_parallel > 1:
+            # Shard the fp32 RMSprop trees like the params: the optimizer
+            # update stays shard-local, which is the memory point of tp.
+            from tpu_unet.parallel.tensor import shard_opt_state
+
+            opt_state = shard_opt_state(mesh, opt_state, params)
+        else:
+            opt_state = jax.device_put(opt_state, replicated(sharding.mesh))
     train_step = make_train_step(
         config, amp=amp, remat=remat, weight_decay=weight_decay,
         momentum=momentum, grad_clip=gradient_clipping,
@@ -729,6 +767,13 @@ def get_args(argv=None):
                              "inserts the conv halo exchanges). Use when "
                              "chips outnumber the batch or activations "
                              "exceed one chip's HBM")
+    parser.add_argument("--tensor-parallel", type=int, default=1,
+                        help="With --data-parallel: also shard DoubleConv "
+                             "CHANNELS over this many devices (3-D dp×sp×tp "
+                             "mesh; Megatron-style column→row weight "
+                             "shardings, one all-reduce per block). For "
+                             "wide models whose params + fp32 optimizer "
+                             "state outgrow one chip's HBM")
     parser.add_argument("--checkpoint-dir", type=str, default=str(dir_checkpoint))
     parser.add_argument("--data-dir", type=str, default="./data")
     parser.add_argument("--wandb", action="store_true", default=False, help="Enable W&B logging (offline by default)")
@@ -862,6 +907,7 @@ def main(argv=None):
             device_dataset=args.device_dataset,
             kernels=None if args.kernels == "xla" else args.kernels,
             spatial_parallel=args.spatial_parallel,
+            tensor_parallel=args.tensor_parallel,
             keep_checkpoints=args.keep_checkpoints,
             save_best=args.save_best,
             augment=_default_augment() if args.augment else None,
