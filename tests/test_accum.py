@@ -1,0 +1,166 @@
+"""Gradient accumulation (--accum-steps): microbatch scan inside the one
+compiled train step. Beyond-reference memory lever (no reference
+counterpart); semantics = torch-style sequential microbatches between
+optimizer updates (per-microbatch BN and Dice, averaged gradient)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tpu_unet.data import CarvanaDataset, make_synthetic_carvana
+from tpu_unet.losses import dice_loss  # noqa: F401  (import parity check)
+from tpu_unet.models import UNetConfig, init_unet, unet_apply
+from tpu_unet.optim import clip_grad_norm, rmsprop_init
+from tpu_unet.train import compute_loss, make_train_step, train_model
+
+
+def _toy_batch(n=8, h=32, w=32, seed=0):
+    rng = np.random.default_rng(seed)
+    imgs = jnp.asarray(rng.random((n, h, w, 3), dtype=np.float32))
+    masks = jnp.asarray(rng.integers(0, 2, (n, h, w)))
+    return imgs, masks
+
+
+@pytest.mark.parametrize("accum", [2, 4])
+def test_accum_step_matches_manual_microbatch_loop(accum):
+    """The fused accum step ≡ hand-rolled microbatch loop: strided
+    microbatches (rows j::A), sequential BN threading, averaged grads,
+    clip, one RMSprop update — exact in fp32."""
+    config = UNetConfig(3, 1, bilinear=True, base_channels=8)
+    params, state = init_unet(jax.random.PRNGKey(0), config)
+    opt = rmsprop_init(params)
+    imgs, masks = _toy_batch(n=8)
+
+    # The step donates (params, bn, opt) — hand it copies so the manual
+    # loop below can still read the originals. return_grads exposes the
+    # clipped averaged gradient, the quantity accumulation defines; the
+    # post-RMSprop params are NOT compared because g/(sqrt(v)+eps) at the
+    # first step turns any fp32 reassociation of a near-zero g into an
+    # O(lr/sqrt(1-momentum)) param delta (sign-sensitive, unbounded rtol).
+    copy = lambda t: jax.tree.map(jnp.copy, t)
+    step = make_train_step(config, accum_steps=accum, return_grads=True)
+    p1, s1, o1, loss1, gnorm1, g1 = step(copy(params), copy(state), copy(opt),
+                                         imgs, masks, jnp.float32(1e-3))
+
+    # Manual reference: same microbatch assignment and order.
+    def loss_fn(p, bn, im, mk):
+        logits, new_bn = unet_apply(p, bn, im, config=config, train=True)
+        return compute_loss(logits, mk, config.n_classes), new_bn
+
+    bn = state
+    gsum = jax.tree.map(jnp.zeros_like, params)
+    lsum = 0.0
+    for j in range(accum):
+        (l, bn), g = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, bn, imgs[j::accum], masks[j::accum])
+        gsum = jax.tree.map(jnp.add, gsum, g)
+        lsum = lsum + l
+    grads = jax.tree.map(lambda g: g / accum, gsum)
+    grads, gnorm2 = clip_grad_norm(grads, 1.0)
+
+    assert np.isclose(float(loss1), float(lsum) / accum, rtol=1e-6)
+    assert np.isclose(float(gnorm1), float(gnorm2), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(grads)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+    for a, b in zip(jax.tree.leaves(s1), jax.tree.leaves(bn)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_accum_equals_plain_when_batch_fits_microbatch_semantics():
+    """A=1 vs A=2: losses differ (per-microbatch BN/Dice) but both train —
+    sanity that the accum path optimizes, not just runs."""
+    config = UNetConfig(3, 1, bilinear=True, base_channels=8)
+    params, state = init_unet(jax.random.PRNGKey(0), config)
+    opt = rmsprop_init(params)
+    step = make_train_step(config, accum_steps=2)
+    imgs, masks = _toy_batch(n=4)
+    loss_first = None
+    for _ in range(8):
+        params, state, opt, loss, _ = step(params, state, opt, imgs, masks,
+                                           jnp.float32(1e-2))
+        if loss_first is None:
+            loss_first = float(loss)
+    assert float(loss) < loss_first  # same batch 8× must fit it
+
+
+def test_accum_partial_batch_runs_unaccumulated():
+    """n % accum != 0 (trailing partial batch): the step's static branch
+    runs the batch whole — same result as an accum=1 step."""
+    config = UNetConfig(3, 1, bilinear=True, base_channels=8)
+    params, state = init_unet(jax.random.PRNGKey(0), config)
+    opt = rmsprop_init(params)
+    imgs, masks = _toy_batch(n=3)
+    copy = lambda t: jax.tree.map(jnp.copy, t)
+    step_a = make_train_step(config, accum_steps=2)
+    step_p = make_train_step(config, accum_steps=1)
+    pa, sa, oa, la, _ = step_a(copy(params), copy(state), copy(opt),
+                               imgs, masks, jnp.float32(1e-3))
+    pp, sp, op_, lp, _ = step_p(copy(params), copy(state), copy(opt),
+                                imgs, masks, jnp.float32(1e-3))
+    assert np.isclose(float(la), float(lp), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(pa), jax.tree.leaves(pp)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+def test_accum_composes_with_data_parallel():
+    """accum=2 under GSPMD DP ≡ accum=2 single-device: the strided
+    microbatch assignment keeps every device contributing to every
+    microbatch, so the global math is unchanged."""
+    from tpu_unet.parallel.mesh import image_sharding, make_mesh, replicated
+
+    config = UNetConfig(3, 1, bilinear=True, base_channels=8)
+    params, state = init_unet(jax.random.PRNGKey(0), config)
+    opt = rmsprop_init(params)
+    imgs, masks = _toy_batch(n=8)
+
+    copy = lambda t: jax.tree.map(jnp.copy, t)
+    step = make_train_step(config, accum_steps=2, return_grads=True)
+    p1, s1, o1, loss1, _, g1 = step(copy(params), copy(state), copy(opt),
+                                    imgs, masks, jnp.float32(1e-3))
+
+    mesh = make_mesh()
+    rep = replicated(mesh)
+    sh = image_sharding(mesh)
+    pd = jax.device_put(params, rep)
+    sd = jax.device_put(state, rep)
+    od = jax.device_put(opt, rep)
+    imd = jax.device_put(imgs, sh)
+    mkd = jax.device_put(masks, sh)
+    p2, s2, o2, loss2, _, g2 = step(pd, sd, od, imd, mkd, jnp.float32(1e-3))
+
+    assert np.isclose(float(loss1), float(loss2), rtol=1e-5)
+    # Grads, not post-RMSprop params: the first-step g/(sqrt(v)+eps) is
+    # sign-sensitive for near-zero g under cross-program fp32 reassociation.
+    # atol matches test_parallel's train-mode grad tolerance (BN chains
+    # amplify the partitioned reductions' reassociation).
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)
+
+
+def test_accum_train_model_e2e(tmp_path):
+    config = UNetConfig(3, 1, bilinear=True, base_channels=8)
+    params, state = init_unet(jax.random.PRNGKey(0), config)
+    root = tmp_path / "data"
+    make_synthetic_carvana(root, n=8, h=48, w=64)
+    ds = CarvanaDataset(root / "imgs", root / "masks", scale=1.0, num_workers=0)
+    params, state, hist = train_model(
+        params, state, config,
+        dataset=ds, epochs=2, batch_size=4, learning_rate=1e-3,
+        val_percent=0.25, checkpoint_dir=tmp_path / "ckpts", seed=0,
+        accum_steps=2,
+    )
+    losses = hist["train_loss"]
+    assert len(losses) == 4 and np.all(np.isfinite(losses))
+    assert np.mean(losses[-2:]) < np.mean(losses[:2])
+
+
+def test_accum_must_divide_batch_size(tmp_path):
+    config = UNetConfig(3, 1, bilinear=True, base_channels=8)
+    params, state = init_unet(jax.random.PRNGKey(0), config)
+    with pytest.raises(ValueError, match="accum-steps"):
+        train_model(params, state, config, dataset=[], epochs=1,
+                    batch_size=5, accum_steps=2)

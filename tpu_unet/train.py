@@ -112,6 +112,7 @@ def make_train_step(
     return_grads: bool = False,
     kernels: str | None = None,
     mesh=None,
+    accum_steps: int = 1,
 ):
     """Build the single fused train step: fwd+loss+bwd+clip+RMSprop.
 
@@ -124,11 +125,26 @@ def make_train_step(
     BN stat sums psum'd — which is how the Pallas kernels participate in
     data parallelism (pallas_call is not auto-partitionable under GSPMD, so
     the plain jit path cannot shard them).
+
+    ``accum_steps`` > 1 runs the batch as that many microbatches under a
+    ``lax.scan`` INSIDE the one program — activation memory is
+    O(batch/accum_steps) while the optimizer still sees the averaged
+    full-batch gradient (the orthogonal memory lever to ``remat``: remat
+    trades FLOPs, accumulation trades MXU occupancy at small microbatches).
+    Microbatch j takes rows ``j::accum_steps`` so that under GSPMD data
+    parallelism every device contributes rows to EVERY microbatch (a
+    contiguous split would place whole microbatches on single devices).
+    Semantics match running ``accum_steps`` sequential loader batches
+    between optimizer updates, exactly as in torch: BN batch statistics are
+    per-microbatch (running stats thread through the scan in order), and
+    the Dice term is per-microbatch — NOT the full-batch joint Dice, which
+    is nonlinear in the batch (documented divergence; the beyond-reference
+    feature has no reference counterpart).
     """
     compute_dtype = jnp.bfloat16 if amp else None
     axis_name = "data" if mesh is not None else None
 
-    def step_body(params, bn_state, opt_state, images, masks, lr):
+    def grads_and_loss(params, bn_state, images, masks):
         def loss_fn(p):
             logits, new_bn = unet_apply(
                 p, bn_state, images, config=config, train=True,
@@ -146,6 +162,38 @@ def make_train_step(
             # partials reproduces the single-device gradient exactly
             # (asserted vs the XLA GSPMD step in test_parallel.py).
             grads = jax.lax.pmean(grads, axis_name)
+        return loss, new_bn, grads
+
+    def step_body(params, bn_state, opt_state, images, masks, lr):
+        n = images.shape[0]
+        if accum_steps == 1 or n % accum_steps:
+            # Indivisible (trailing partial) batches run unaccumulated: n is
+            # static at trace time, so each compiled program takes exactly
+            # one branch (the partial shape recompiles anyway).
+            loss, new_bn, grads = grads_and_loss(params, bn_state, images, masks)
+        else:
+            mb = n // accum_steps
+            # rows j::accum -> microbatch j (see docstring): reshape to
+            # (mb, A, ...) then lead with the microbatch axis.
+            def strided(x):
+                return jnp.moveaxis(
+                    x.reshape((mb, accum_steps) + x.shape[1:]), 1, 0)
+
+            def scan_fn(carry, xs):
+                bn, gsum, lsum = carry
+                im, mk = xs
+                l, bn, g = grads_and_loss(params, bn, im, mk)
+                gsum = jax.tree.map(jnp.add, gsum, g)
+                return (bn, gsum, lsum + l), None
+
+            zeros = jax.tree.map(jnp.zeros_like, params)
+            (new_bn, gsum, lsum), _ = jax.lax.scan(
+                scan_fn, (bn_state, zeros, jnp.float32(0.0)),
+                (strided(images), strided(masks)),
+            )
+            inv = jnp.float32(1.0 / accum_steps)
+            grads = jax.tree.map(lambda g: g * inv, gsum)
+            loss = lsum * inv
         grads, gnorm = clip_grad_norm(grads, grad_clip)
         new_params, new_opt = rmsprop_update(
             grads, opt_state, params, lr,
@@ -201,9 +249,14 @@ def train_model(
     kernels: str | None = None,
     spatial_parallel: int = 1,
     tensor_parallel: int = 1,
+    accum_steps: int = 1,
     augment=None,
 ):
     """The reference's train_model, TPU-native. Returns (params, bn_state, history)."""
+    if accum_steps > 1 and batch_size % accum_steps:
+        raise ValueError(
+            f"--accum-steps {accum_steps} must divide --batch-size {batch_size}"
+        )
     if tensor_parallel > 1 and not data_parallel:
         # The 'model' axis is part of the one global mesh; a tp-only run is
         # the degenerate mesh with data axis 1, reached the same way.
@@ -396,7 +449,7 @@ def train_model(
     train_step = make_train_step(
         config, amp=amp, remat=remat, weight_decay=weight_decay,
         momentum=momentum, grad_clip=gradient_clipping,
-        kernels=kernels, mesh=step_mesh,
+        kernels=kernels, mesh=step_mesh, accum_steps=accum_steps,
     )
 
     # W&B histograms (5×/epoch) get their own compiled step instead of
@@ -767,6 +820,13 @@ def get_args(argv=None):
                              "inserts the conv halo exchanges). Use when "
                              "chips outnumber the batch or activations "
                              "exceed one chip's HBM")
+    parser.add_argument("--accum-steps", type=int, default=1,
+                        help="Run each batch as this many microbatches under "
+                             "a lax.scan inside the one compiled step "
+                             "(gradient accumulation): activation memory is "
+                             "O(batch/accum), the optimizer sees the averaged "
+                             "full-batch gradient. Must divide --batch-size. "
+                             "The memory lever orthogonal to remat")
     parser.add_argument("--tensor-parallel", type=int, default=1,
                         help="With --data-parallel: also shard DoubleConv "
                              "CHANNELS over this many devices (3-D dp×sp×tp "
@@ -908,6 +968,7 @@ def main(argv=None):
             kernels=None if args.kernels == "xla" else args.kernels,
             spatial_parallel=args.spatial_parallel,
             tensor_parallel=args.tensor_parallel,
+            accum_steps=args.accum_steps,
             keep_checkpoints=args.keep_checkpoints,
             save_best=args.save_best,
             augment=_default_augment() if args.augment else None,
