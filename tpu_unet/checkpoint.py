@@ -160,6 +160,70 @@ class AsyncCheckpointer:
 # ---------------------------------------------------------------------------
 
 
+def export_pth(
+    path: str | Path,
+    params: Params,
+    state: State,
+    *,
+    bilinear: bool,
+    mask_values: list | None = None,
+) -> None:
+    """Write a torch ``.pth`` the reference can ``load_state_dict`` directly.
+
+    The inverse of :func:`import_pth`, completing torch interop in BOTH
+    directions: a model trained here drops back into the reference stack
+    (reference: train.py ``torch.save(state_dict() ∪ {'mask_values'})``,
+    predict.py loaders — UNVERIFIED mount, SURVEY.md §5). Keys use the
+    canonical upstream module naming (``inc.double_conv.0.weight``,
+    ``downN.maxpool_conv.1.double_conv...``, ``upN.up`` /
+    ``upN.conv.double_conv``, ``outc.conv``); layouts are transposed back
+    (HWIO → OIHW convs, HW-I-O → I-O-kH-kW transposed convs) and
+    ``num_batches_tracked`` is emitted as 0 (we don't track it; the
+    reference never reads it outside BN-momentum warmup).
+    """
+    import torch
+
+    def t(x):
+        # torch.tensor copies — from_numpy would warn on JAX's read-only
+        # numpy views and alias donated buffers.
+        return torch.tensor(np.asarray(x))
+
+    sd: dict = {}
+
+    def emit_double_conv(prefix: str, p: dict, s: dict) -> None:
+        # Sequential indices: 0 conv, 1 bn, 2 relu, 3 conv, 4 bn, 5 relu.
+        for idx, conv, bn in (("0", "conv1", "bn1"), ("3", "conv2", "bn2")):
+            bn_idx = str(int(idx) + 1)
+            sd[f"{prefix}.{idx}.weight"] = t(
+                np.transpose(np.asarray(p[conv]["w"]), (3, 2, 0, 1)))
+            sd[f"{prefix}.{bn_idx}.weight"] = t(p[bn]["scale"])
+            sd[f"{prefix}.{bn_idx}.bias"] = t(p[bn]["bias"])
+            sd[f"{prefix}.{bn_idx}.running_mean"] = t(s[bn].mean)
+            sd[f"{prefix}.{bn_idx}.running_var"] = t(s[bn].var)
+            sd[f"{prefix}.{bn_idx}.num_batches_tracked"] = torch.tensor(
+                0, dtype=torch.long)
+
+    emit_double_conv("inc.double_conv", params["inc"], state["inc"])
+    for b in ("down1", "down2", "down3", "down4"):
+        emit_double_conv(f"{b}.maxpool_conv.1.double_conv", params[b], state[b])
+    for b in ("up1", "up2", "up3", "up4"):
+        if not bilinear:
+            # ours (kH, kW, I, O) -> torch ConvTranspose2d (I, O, kH, kW)
+            sd[f"{b}.up.weight"] = t(
+                np.transpose(np.asarray(params[b]["up"]["w"]), (2, 3, 0, 1)))
+            sd[f"{b}.up.bias"] = t(params[b]["up"]["b"])
+        emit_double_conv(f"{b}.conv.double_conv",
+                         params[b]["conv"], state[b]["conv"])
+    sd["outc.conv.weight"] = t(
+        np.transpose(np.asarray(params["outc"]["w"]), (3, 2, 0, 1)))
+    sd["outc.conv.bias"] = t(params["outc"]["b"])
+    if mask_values is not None:
+        # The reference stores it alongside the weights and every loader
+        # pops it before load_state_dict.
+        sd["mask_values"] = list(mask_values)
+    torch.save(sd, str(path))
+
+
 def import_pth(path: str | Path, config: UNetConfig) -> tuple[Params, State, list | None]:
     """Translate a torch U-Net checkpoint into (params, state, mask_values).
 

@@ -128,8 +128,10 @@ def get_args(argv=None):
     p = argparse.ArgumentParser(description="Export the model as a serialized StableHLO artifact")
     p.add_argument("--model", "-m", required=True, help="Checkpoint (.npz or .pth)")
     p.add_argument("--output", "-o", required=True, help="Output artifact path")
-    p.add_argument("--height", type=int, required=True, help="Static input height")
-    p.add_argument("--width", type=int, required=True, help="Static input width")
+    p.add_argument("--height", type=int, default=None,
+                   help="Static input height (required for .jaxexp output)")
+    p.add_argument("--width", type=int, default=None,
+                   help="Static input width (required for .jaxexp output)")
     p.add_argument("--batch", type=int, default=None,
                    help="Pin the batch dim (default: symbolic, any batch)")
     p.add_argument("--no-amp", dest="amp", action="store_false", default=True,
@@ -147,6 +149,27 @@ def main(argv=None):
     logging.basicConfig(level=logging.INFO, format="%(levelname)s: %(message)s")
     args = get_args(argv)
     params, state, config, mask_values = _load_model(args.model, args)
+    if str(args.output).endswith(".pth"):
+        # torch interop, the other direction: write a state_dict the
+        # reference loads directly (checkpoint.export_pth).
+        from tpu_unet.checkpoint import export_pth, import_pth
+
+        export_pth(args.output, params, state,
+                   bilinear=config.bilinear, mask_values=mask_values)
+        logger.info("Exported %s -> %s (torch state_dict, %.1f MB)",
+                    args.model, args.output,
+                    Path(args.output).stat().st_size / 1e6)
+        if args.check:
+            p2, s2, mv2 = import_pth(args.output, config)
+            for a, b in zip(jax.tree.leaves((params, state)),
+                            jax.tree.leaves((p2, s2))):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+            assert (mask_values is None or
+                    [int(v) for v in mv2] == [int(v) for v in mask_values])
+            logger.info("Round-trip check OK (bitwise)")
+        return
+    if args.height is None or args.width is None:
+        raise SystemExit("--height/--width are required for .jaxexp export")
     exported = export_infer(
         params, state, config,
         height=args.height, width=args.width, batch=args.batch, amp=args.amp,
