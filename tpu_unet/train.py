@@ -250,6 +250,7 @@ def train_model(
     spatial_parallel: int = 1,
     tensor_parallel: int = 1,
     accum_steps: int = 1,
+    ema_decay: float | None = None,
     augment=None,
 ):
     """The reference's train_model, TPU-native. Returns (params, bn_state, history)."""
@@ -481,7 +482,41 @@ def train_model(
         )
         return logits
 
+    # EMA shadow weights (beyond-reference; no reference counterpart):
+    # ema ← d·ema + (1−d)·params after every optimizer step, as its own
+    # tiny jitted program (one fused multiply-add sweep over the tree —
+    # dispatch is async, so it rides the step pipeline). The shadow tree
+    # inherits the params' shardings (tp/replicated) via tree.map.
+    ema_params = None
+    ema_update = None
+    if ema_decay is not None:
+        if not (0.0 < ema_decay < 1.0):
+            raise ValueError(f"--ema-decay must be in (0, 1), got {ema_decay}")
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def ema_update(e, p):
+            d = jnp.float32(ema_decay)
+            return jax.tree.map(lambda a, b: a * d + b * (1.0 - d), e, p)
+
+        ema_params = jax.tree.map(jnp.copy, params)
+        if resume:
+            # Continue the average across restarts when the sibling
+            # _ema.npz exists (written next to every per-epoch checkpoint);
+            # otherwise the average restarts from the restored params.
+            rp = Path(resume)
+            ema_path = rp.with_name(rp.name.replace(".npz", "_ema.npz"))
+            if ema_path.exists():
+                ema_params = load_checkpoint(ema_path, ema_params, bn_state)[0]
+                if sharding is not None:
+                    # Match the live params' placement exactly.
+                    ema_params = jax.tree.map(
+                        lambda e, p: jax.device_put(e, p.sharding),
+                        ema_params, params)
+                logger.info("Resumed EMA weights from %s", ema_path)
+
     history = {"train_loss": [], "val_dice": [], "lr": []}
+    if ema_decay is not None:
+        history["val_dice_ema"] = []
     global_step = 0
     hist_batch = None  # last full-size batch, for W&B histogram sampling
     best_dice = float("-inf")  # --save-best tracking
@@ -605,6 +640,8 @@ def train_model(
                     params, bn_state, opt_state, images, masks,
                     jnp.float32(scheduler.lr),
                 )
+                if ema_update is not None:
+                    ema_params = ema_update(ema_params, params)
                 global_step += 1
                 if experiment is not None and images.shape[0] == batch_size:
                     # Histograms sample the last FULL batch: a trailing partial
@@ -633,6 +670,13 @@ def train_model(
                     history["val_dice"].append(val_dice)
                     history["lr"].append(lr_now)
                     logger.info("Validation Dice score: %f (IoU %f)", val_dice, val_iou)
+                    if ema_params is not None:
+                        # The shadow weights' own validation (same sharded
+                        # path; runs on every host under --multihost).
+                        ema_dice, _ = evaluate(ema_params, bn_state, val_loader,
+                                               config, amp, sharding=sharding)
+                        history["val_dice_ema"].append(ema_dice)
+                        logger.info("Validation Dice (EMA): %f", ema_dice)
                     if save_best and primary and val_dice > best_dice:
                         # Best-model tracking (beyond-reference): one extra file
                         # outside the per-epoch series, never touched by
@@ -746,6 +790,17 @@ def train_model(
                     opt_state=opt_state if save_optimizer else None,
                 )
                 logger.info("Checkpoint %d saved!", epoch)
+                if ema_params is not None:
+                    # Sibling EMA checkpoint: loads anywhere a normal one
+                    # does (predict/serve/evaluate/export), and lets a
+                    # --resume run continue the average.
+                    checkpointer.save(
+                        checkpoint_dir / f"checkpoint_epoch{epoch}_ema.npz",
+                        ema_params, bn_state,
+                        mask_values=getattr(dataset, "mask_values", None),
+                        extra={"epoch": epoch, "ema_decay": ema_decay,
+                               "config": config._asdict()},
+                    )
                 if keep_checkpoints:
                     # Retention (beyond-reference; the reference keeps every
                     # epoch — ~124 MB each at 31M params): prune epochs older
@@ -774,7 +829,8 @@ def _prune_checkpoints(checkpoint_dir: Path, epoch: int, keep: int) -> None:
     """Delete per-epoch checkpoints older than the newest ``keep``."""
     for old in sorted(checkpoint_dir.glob("checkpoint_epoch*.npz")):
         try:
-            ep = int(old.stem.removeprefix("checkpoint_epoch"))
+            ep = int(old.stem.removeprefix("checkpoint_epoch")
+                     .removesuffix("_ema"))
         except ValueError:
             continue  # not ours (e.g. user-renamed file)
         if ep <= epoch - keep:
@@ -820,6 +876,15 @@ def get_args(argv=None):
                              "inserts the conv halo exchanges). Use when "
                              "chips outnumber the batch or activations "
                              "exceed one chip's HBM")
+    parser.add_argument("--ema-decay", type=float, default=None,
+                        help="Maintain an exponential moving average of the "
+                             "weights (e.g. 0.999): ema <- d*ema + (1-d)*w "
+                             "after every step. Writes a sibling "
+                             "checkpoint_epochN_ema.npz each epoch (loads "
+                             "anywhere a normal checkpoint does) and "
+                             "validates it alongside the raw weights. "
+                             "--resume continues the average when the "
+                             "sibling file exists")
     parser.add_argument("--accum-steps", type=int, default=1,
                         help="Run each batch as this many microbatches under "
                              "a lax.scan inside the one compiled step "
@@ -969,6 +1034,7 @@ def main(argv=None):
             spatial_parallel=args.spatial_parallel,
             tensor_parallel=args.tensor_parallel,
             accum_steps=args.accum_steps,
+            ema_decay=args.ema_decay,
             keep_checkpoints=args.keep_checkpoints,
             save_best=args.save_best,
             augment=_default_augment() if args.augment else None,
