@@ -193,3 +193,39 @@ def test_tensor_parallel_requires_data_parallel():
 
     with pytest.raises(ValueError, match="tensor-parallel"):
         train_model(*_init(), CONFIG, dataset=[], tensor_parallel=2)
+
+
+def test_tp_shards_unetpp_too():
+    """UNet++ nodes reuse the DoubleConv param structure, so the Megatron
+    pairing (parallel/tensor.py) shards the whole nested family with no
+    arch-specific code: forward + one fp32 train step match single-device,
+    and the node weights are actually distributed."""
+    config = UNetConfig(3, 1, bilinear=True, base_channels=8, arch="unetpp")
+    params, state = init_unet(jax.random.PRNGKey(0), config)
+    imgs, masks = synth_batch(np.random.default_rng(1), 8, 32, 32)
+    imgs, masks = jnp.asarray(imgs), jnp.asarray(masks)
+
+    def run(mesh):
+        p0 = jax.tree.map(jnp.array, params)
+        s0 = jax.tree.map(jnp.array, state)
+        if mesh is None:
+            p, s, o = p0, s0, rmsprop_init(p0)
+            im, mk = imgs, masks
+        else:
+            p, s = shard_model(mesh, p0, s0)
+            o = shard_opt_state(mesh, rmsprop_init(p0), p0)
+            im = jax.device_put(imgs, image_sharding(mesh))
+            mk = jax.device_put(masks, image_sharding(mesh))
+        y, _ = unet_apply(p, s, im, config=config, train=False)
+        step = make_train_step(config)
+        p, s, o, loss, _ = step(p, s, o, im, mk, jnp.float32(1e-3))
+        return jax.device_get(y), float(loss)
+
+    mesh = make_mesh_3d(model=2)
+    # A nested node's conv1 is Cout-sharded across the 'model' axis.
+    specs = unet_param_specs(params, 2)
+    assert specs["x01"]["conv1"]["w"] == P(None, None, None, "model")
+    y_ref, l_ref = run(None)
+    y_tp, l_tp = run(mesh)
+    np.testing.assert_allclose(y_tp, y_ref, atol=1e-4)
+    np.testing.assert_allclose(l_tp, l_ref, rtol=5e-4)
