@@ -164,3 +164,39 @@ def test_accum_must_divide_batch_size(tmp_path):
     with pytest.raises(ValueError, match="accum-steps"):
         train_model(params, state, config, dataset=[], epochs=1,
                     batch_size=5, accum_steps=2)
+
+
+def test_accum_with_wandb_histograms(tmp_path, monkeypatch):
+    """--accum-steps + --wandb: validation histograms still arrive (the
+    hist step samples a MICROBATCH so its program never exceeds the
+    accumulation's memory/compile envelope)."""
+    import sys
+    import types
+
+    logs = []
+    fake = types.ModuleType("wandb")
+
+    class FakeExperiment:
+        def __init__(self):
+            self.config = types.SimpleNamespace(update=lambda *a, **k: None)
+
+        def log(self, d):
+            logs.append(d)
+
+    fake.init = lambda **k: FakeExperiment()
+    fake.Histogram = lambda v: ("hist", int(np.asarray(v).size))
+    fake.Image = lambda v: ("img", np.asarray(v).shape)
+    monkeypatch.setitem(sys.modules, "wandb", fake)
+
+    root = tmp_path / "d"
+    make_synthetic_carvana(root, n=16, h=32, w=32)
+    ds = CarvanaDataset(root / "imgs", root / "masks", scale=1.0, num_workers=0)
+    config = UNetConfig(3, 1, bilinear=True, base_channels=8)
+    params, state = init_unet(jax.random.PRNGKey(0), config)
+    train_model(
+        params, state, config, dataset=ds, epochs=1, batch_size=2,
+        learning_rate=1e-3, val_percent=0.25, checkpoint_dir=tmp_path / "ck",
+        save_checkpoint_flag=False, use_wandb=True, seed=0, accum_steps=2,
+    )
+    val_logs = [d for d in logs if "validation Dice" in d]
+    assert val_logs and any(k.startswith("Gradients/") for k in val_logs[-1])

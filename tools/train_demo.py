@@ -52,7 +52,7 @@ HELDOUT_SEED = 4242  # never used by any training/val dataset generation
 
 
 def run(preset: str = "full", data_dir: str | None = None,
-        device_data: bool | None = None) -> dict:
+        device_data: bool | None = None, ema_decay: float | None = None) -> dict:
     from tpu_unet.data import HELDOUT_GEN, CarvanaDataset, make_synthetic_carvana
     from tpu_unet.evaluate import evaluate
     from tpu_unet.models import UNetConfig, init_unet
@@ -80,10 +80,17 @@ def run(preset: str = "full", data_dir: str | None = None,
         # host loader (tests/test_device_dataset.py), so results match.
         device_data = jax.default_backend() != "cpu"
     t0 = time.time()
+    ck = tmp / "ck"
     params, state, hist = train_model(
         params, state, config, dataset=ds, epochs=epochs, batch_size=batch,
-        learning_rate=lr, val_percent=1 / 6, save_checkpoint_flag=False,
+        learning_rate=lr, val_percent=1 / 6,
+        # EMA weights only materialize through the sibling checkpoint
+        # files, so checkpointing turns on (pruned to 1) when EMA is asked.
+        save_checkpoint_flag=ema_decay is not None,
+        keep_checkpoints=1 if ema_decay is not None else None,
+        checkpoint_dir=ck,
         amp=jax.default_backend() != "cpu", seed=0, device_dataset=device_data,
+        ema_decay=ema_decay,
     )
     wall = time.time() - t0
 
@@ -100,6 +107,23 @@ def run(preset: str = "full", data_dir: str | None = None,
                              scale=1.0, cache=True)
     held_loader = DataLoader(held_ds, batch)
     held_dice, held_iou = evaluate(params, state, held_loader, config, amp=amp)
+
+    ema_metrics = {}
+    if ema_decay is not None:
+        from tpu_unet.checkpoint import load_checkpoint
+
+        p_e, s_e = init_unet(jax.random.PRNGKey(1), config)
+        p_e, s_e, _, _ = load_checkpoint(
+            ck / f"checkpoint_epoch{epochs}_ema.npz", p_e, s_e)
+        e_dice, e_iou = evaluate(p_e, s_e, val_loader, config, amp=amp)
+        e_h_dice, e_h_iou = evaluate(p_e, s_e, held_loader, config, amp=amp)
+        ema_metrics = {
+            "ema_decay": ema_decay,
+            "ema_val_dice": round(float(e_dice), 4),
+            "ema_val_iou": round(float(e_iou), 4),
+            "ema_heldout_dice": round(float(e_h_dice), 4),
+            "ema_heldout_iou": round(float(e_h_iou), 4),
+        }
 
     passed = bool(dice >= floor)
     if heldout_floor is not None:
@@ -119,6 +143,7 @@ def run(preset: str = "full", data_dir: str | None = None,
         "heldout_floor": heldout_floor,
         "passed": passed,
         "device": str(jax.devices()[0]),
+        **ema_metrics,
     }
     return result
 
@@ -127,8 +152,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--preset", choices=list(PRESETS), default="full")
     ap.add_argument("--out", type=str, default=None)
+    ap.add_argument("--ema-decay", type=float, default=None,
+                    help="Also train/evaluate EMA shadow weights; reported "
+                         "as ema_* fields (gates stay on the raw weights)")
     args = ap.parse_args()
-    result = run(args.preset)
+    result = run(args.preset, ema_decay=args.ema_decay)
     print(json.dumps(result))
     if args.out:
         Path(args.out).write_text(json.dumps(result, indent=2))

@@ -581,6 +581,16 @@ def train_model(
                    "config": config._asdict()},
             opt_state=opt_state,  # always included: resumability is the point
         )
+        if ema_params is not None:
+            # Sibling EMA file: --resume INTERRUPTED.npz then continues the
+            # average instead of restarting it from the restored params.
+            checkpointer.save(
+                checkpoint_dir / "INTERRUPTED_ema.npz",
+                ema_params, bn_state,
+                mask_values=getattr(dataset, "mask_values", None),
+                extra={"epoch": epoch - 1, "ema_decay": ema_decay,
+                       "config": config._asdict()},
+            )
         return path
 
     interrupted = False
@@ -713,6 +723,13 @@ def train_model(
                         import wandb
 
                         h_imgs, h_masks = hist_batch if hist_batch else (images, masks)
+                        if accum_steps > 1:
+                            # The hist step has no accumulation scan: keep its
+                            # program microbatch-sized, or it would compile the
+                            # very full-batch program --accum-steps avoids
+                            # (b32 kills the remote compile helper).
+                            mb = max(1, h_imgs.shape[0] // accum_steps)
+                            h_imgs, h_masks = h_imgs[:mb], h_masks[:mb]
                         w_sub, g_sub = jax.device_get(
                             hist_sample_step(params, bn_state, h_imgs, h_masks)
                         )
@@ -851,7 +868,7 @@ def get_args(argv=None):
     parser.add_argument("--bilinear", action="store_true", default=False, help="Use bilinear upsampling")
     parser.add_argument("--classes", "-c", type=int, default=1, help="Number of classes")
     # TPU-framework extensions (additive, not in the reference CLI):
-    parser.add_argument("--arch", choices=["unet", "unetpp"], default="unet",
+    parser.add_argument("--arch", choices=["unet", "unetpp", "attention"], default="unet",
                         help="Model family: classic U-Net (reference parity) or UNet++")
     parser.add_argument("--deep-supervision", action="store_true", default=False,
                         help="UNet++ only: per-column output heads, averaged")
