@@ -96,12 +96,21 @@ def synth_sample(rng: np.random.Generator, h: int, w: int, gen: dict | None = No
 
 def make_synthetic_carvana(
     root: str | Path, n: int = 8, h: int = 64, w: int = 96, seed: int = 0,
-    gen: dict | None = None,
+    gen: dict | None = None, img_format: str = "png",
+    mask_format: str = "png",
 ) -> tuple[Path, Path]:
     """Write a Carvana-layout dataset (imgs/, masks/ with _mask suffix).
 
     ``gen=HELDOUT_GEN`` (with an unseen ``seed``) produces the held-out
-    evaluation distribution the quality gate scores against."""
+    evaluation distribution the quality gate scores against.
+
+    ``img_format="jpg", mask_format="gif"`` mirrors the REAL upstream
+    dataset's file formats (train_hq.zip ships .jpg images, train_masks
+    .gif palette masks; reference: utils/data_loading.py glob id.*,
+    UNVERIFIED mount, SURVEY.md §2 #10/#21) — the loader is
+    extension-agnostic, so this exercises the exact decode paths a real
+    Carvana download would.
+    """
     root = Path(root)
     img_dir, mask_dir = root / "imgs", root / "masks"
     img_dir.mkdir(parents=True, exist_ok=True)
@@ -109,8 +118,10 @@ def make_synthetic_carvana(
     rng = np.random.default_rng(seed)
     for i in range(n):
         img, mask = synth_sample(rng, h, w, gen=gen)
-        Image.fromarray(img).save(img_dir / f"car_{i:04d}.png")
-        Image.fromarray(mask).save(mask_dir / f"car_{i:04d}_mask.png")
+        img_kw = {"quality": 95} if img_format in ("jpg", "jpeg") else {}
+        Image.fromarray(img).save(
+            img_dir / f"car_{i:04d}.{img_format}", **img_kw)
+        Image.fromarray(mask).save(mask_dir / f"car_{i:04d}_mask.{mask_format}")
     return img_dir, mask_dir
 
 

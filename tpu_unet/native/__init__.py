@@ -6,7 +6,11 @@ UNVERIFIED mount, SURVEY.md §2 #9). This package is the framework's own
 native equivalent: `preproc.cc` reimplements Pillow's fixed-point
 convolution resampling bit-exactly, adds row-parallel threading and a fused
 resize→float32 normalize; `decode.cc` decodes 8-bit PNGs (zlib inflate +
-unfilter) so the whole decode→resize→normalize chain runs outside Python.
+unfilter), `jpeg.cc` decodes JPEGs (system libjpeg — the real Carvana
+images are .jpg) and `gif.cc` decodes first-frame GIF index bands (pure
+LZW — the real Carvana masks are .gif), so the whole
+decode→resize→normalize chain runs outside Python for every format the
+upstream dataset ships.
 Both are loaded here via ctypes (no pybind11 in the image; ctypes releases
 the GIL for the call, so Python loader thread pools scale across images
 while each call can also thread across rows).
@@ -72,15 +76,29 @@ def build(force: bool = False) -> Path:
         return so
     _BUILD_DIR.mkdir(exist_ok=True)
     tmp = so.with_suffix(f".tmp{os.getpid()}.so")
-    cmd = [
-        "g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
-        *[str(s) for s in _sources()], "-o", str(tmp), "-lz",
-    ]
+    base = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread"]
+    cmd = [*base, *[str(s) for s in _sources()], "-o", str(tmp),
+           "-lz", "-ljpeg"]
     try:
         subprocess.run(cmd, check=True, capture_output=True, text=True,
                        timeout=120)
-    except (subprocess.CalledProcessError, subprocess.TimeoutExpired,
-            FileNotFoundError) as e:
+    except subprocess.CalledProcessError as e:
+        # jpeg.cc is the only external-library dependency beyond zlib; a
+        # host without libjpeg keeps PNG/GIF/resize (JPEG declines at bind
+        # time and those files fall back to PIL).
+        no_jpeg = [s for s in _sources() if s.name != "jpeg.cc"]
+        cmd = [*base, *[str(s) for s in no_jpeg], "-o", str(tmp), "-lz"]
+        try:
+            subprocess.run(cmd, check=True, capture_output=True, text=True,
+                           timeout=120)
+            logger.warning("native jpeg decode unavailable (%s); "
+                           "JPEG files use PIL", (e.stderr or "")[-200:])
+        except (subprocess.CalledProcessError, subprocess.TimeoutExpired,
+                FileNotFoundError) as e2:
+            detail = getattr(e2, "stderr", "") or str(e2)
+            raise RuntimeError(
+                f"native preproc build failed: {detail}") from e2
+    except (subprocess.TimeoutExpired, FileNotFoundError) as e:
         detail = getattr(e, "stderr", "") or str(e)
         raise RuntimeError(f"native preproc build failed: {detail}") from e
     tmp.replace(so)  # atomic vs concurrent builders
@@ -118,6 +136,18 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.tu_png_probe.argtypes = [u8p, ctypes.c_int64, intp, intp, intp, intp]
     lib.tu_png_decode.restype = ctypes.c_int
     lib.tu_png_decode.argtypes = [u8p, ctypes.c_int64, u8p]
+    lib.tu_gif_probe.restype = ctypes.c_int
+    lib.tu_gif_probe.argtypes = [u8p, ctypes.c_int64, intp, intp]
+    lib.tu_gif_decode.restype = ctypes.c_int
+    lib.tu_gif_decode.argtypes = [u8p, ctypes.c_int64, u8p]
+    try:  # absent when the build fell back to the no-libjpeg variant
+        lib.tu_jpeg_probe.restype = ctypes.c_int
+        lib.tu_jpeg_probe.argtypes = [u8p, ctypes.c_int64, intp, intp, intp]
+        lib.tu_jpeg_decode.restype = ctypes.c_int
+        lib.tu_jpeg_decode.argtypes = [u8p, ctypes.c_int64, u8p]
+        lib.tu_has_jpeg = True
+    except AttributeError:
+        lib.tu_has_jpeg = False
     return lib
 
 
@@ -246,17 +276,86 @@ def _decode_png_raw(lib: ctypes.CDLL, data: bytes) -> np.ndarray | None:
     return dst[:, :, 0] if c.value == 1 else dst
 
 
+def decode_jpeg(data: bytes) -> np.ndarray | None:
+    """Decode a JPEG byte string natively; None when out of scope.
+
+    Returns HW (grayscale) or HW3 uint8, bit-identical to
+    ``np.asarray(PIL.Image.open(...))`` (self-check-asserted — JPEG decode
+    is only conventionally deterministic, see jpeg.cc). Scope: baseline/
+    progressive gray+RGB; CMYK and exotic component counts return None.
+    """
+    lib = _load()
+    if lib is None or not lib.tu_has_jpeg:
+        return None
+    return _decode_jpeg_raw(lib, data)
+
+
+def _decode_jpeg_raw(lib: ctypes.CDLL, data: bytes) -> np.ndarray | None:
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    h = ctypes.c_int()
+    w = ctypes.c_int()
+    c = ctypes.c_int()
+    buf = (ctypes.c_uint8 * len(data)).from_buffer_copy(data)
+    src = ctypes.cast(buf, u8p)
+    if lib.tu_jpeg_probe(src, len(data), ctypes.byref(h), ctypes.byref(w),
+                         ctypes.byref(c)) != 0:
+        return None
+    dst = np.empty((h.value, w.value, c.value), dtype=np.uint8)
+    if lib.tu_jpeg_decode(src, len(data), dst.ctypes.data_as(u8p)) != 0:
+        return None
+    return dst[:, :, 0] if c.value == 1 else dst
+
+
+def decode_gif(data: bytes) -> np.ndarray | None:
+    """Decode a GIF byte string's first frame natively; None out of scope.
+
+    Returns the HW uint8 palette INDEX band — exactly what
+    ``np.asarray(PIL.Image.open(...))`` gives for a single-frame 'P' GIF
+    (the Carvana mask format). Sub-canvas first frames (left/top ≠ 0 or
+    size ≠ logical screen) return None for PIL compositing.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    return _decode_gif_raw(lib, data)
+
+
+def _decode_gif_raw(lib: ctypes.CDLL, data: bytes) -> np.ndarray | None:
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    h = ctypes.c_int()
+    w = ctypes.c_int()
+    buf = (ctypes.c_uint8 * len(data)).from_buffer_copy(data)
+    src = ctypes.cast(buf, u8p)
+    if lib.tu_gif_probe(src, len(data), ctypes.byref(h),
+                        ctypes.byref(w)) != 0:
+        return None
+    dst = np.empty((h.value, w.value), dtype=np.uint8)
+    if lib.tu_gif_decode(src, len(data), dst.ctypes.data_as(u8p)) != 0:
+        return None
+    return dst
+
+
 _MODE_CHANNELS = {"L": 1, "P": 1, "LA": 2, "RGB": 3, "RGBA": 4}
+
+# File formats the native tier can decode, keyed by PIL's reported format.
+# JPEG additionally requires tu_has_jpeg (libjpeg linked at build time).
+_FORMAT_DECODERS = {
+    "PNG": _decode_png_raw,
+    "JPEG": _decode_jpeg_raw,
+    "GIF": _decode_gif_raw,
+}
 
 
 def asarray_fast(pil_img) -> np.ndarray:
-    """``np.asarray(pil_img)``, decoding PNG files natively when possible.
+    """``np.asarray(pil_img)``, decoding PNG/JPEG/GIF files natively when
+    possible.
 
     The fast path triggers only for a lazy (not-yet-loaded) ``Image.open``
-    of a .png file whose decoded shape matches the PIL-reported mode/size;
-    every other case — including any decode failure — falls back to PIL's
-    own decoder. Output is bit-identical either way (PNG is lossless and
-    decode.cc is parity-self-checked).
+    of a supported file whose decoded shape matches the PIL-reported
+    mode/size; every other case — including any decode failure — falls
+    back to PIL's own decoder. Output is bit-identical either way
+    (PNG/GIF are lossless; JPEG parity with Pillow's decoder is asserted
+    by the runtime self-check before the path is enabled).
     """
     arr = _maybe_decode_file(pil_img)
     return np.asarray(pil_img) if arr is None else arr
@@ -265,9 +364,10 @@ def asarray_fast(pil_img) -> np.ndarray:
 def _maybe_decode_file(pil_img) -> np.ndarray | None:
     try:
         filename = getattr(pil_img, "filename", "")
+        decoder = _FORMAT_DECODERS.get(getattr(pil_img, "format", None))
         if (
             not filename
-            or getattr(pil_img, "format", None) != "PNG"
+            or decoder is None
             or pil_img.mode not in _MODE_CHANNELS
         ):
             return None
@@ -281,7 +381,9 @@ def _maybe_decode_file(pil_img) -> np.ndarray | None:
         lib = _load()
         if lib is None:
             return None
-        arr = _decode_png_raw(lib, Path(filename).read_bytes())
+        if decoder is _decode_jpeg_raw and not lib.tu_has_jpeg:
+            return None
+        arr = decoder(lib, Path(filename).read_bytes())
         if arr is None:
             return None
         channels = arr.shape[2] if arr.ndim == 3 else 1
@@ -319,7 +421,8 @@ def _self_check(lib: ctypes.CDLL) -> bool:
                     return False
                 if not np.array_equal(want.reshape(new_h, new_w, c), got):
                     return False
-    return _self_check_png(lib)
+    return (_self_check_png(lib) and _self_check_gif(lib)
+            and _self_check_jpeg(lib))
 
 
 def _self_check_png(lib: ctypes.CDLL) -> bool:
@@ -349,6 +452,68 @@ def _self_check_png(lib: ctypes.CDLL) -> bool:
         return False
     # Out-of-scope inputs must decline, not misdecode.
     if _decode_png_raw(lib, b"not a png at all") is not None:
+        return False
+    return True
+
+
+def _self_check_jpeg(lib: ctypes.CDLL) -> bool:
+    """JPEG decode bit-parity vs Pillow.
+
+    JPEG decode is only conventionally deterministic (the spec tolerates
+    IDCT variation); Pillow's bundled libjpeg-turbo and the system libjpeg
+    both default to islow + fancy upsampling, but this check is the actual
+    gate: every (mode, quality, chroma subsampling, progressive) combo the
+    loader could meet must match bit-for-bit or JPEG stays on PIL.
+    """
+    if not lib.tu_has_jpeg:
+        return True  # no-libjpeg build: the JPEG path already declines
+    import io
+
+    from PIL import Image
+
+    rng = np.random.default_rng(2)
+    for mode, shape in (("L", (9, 11)), ("RGB", (9, 11, 3))):
+        # Low-frequency content (upscaled noise) — the JPEG-typical regime;
+        # pure per-pixel noise would also pass but exercises less of the
+        # upsampling path.
+        base = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        img = Image.fromarray(base, mode=mode).resize((88, 72),
+                                                      Image.BICUBIC)
+        for quality in (75, 95):
+            for subsampling in (0, 2):
+                for progressive in (False, True):
+                    bio = io.BytesIO()
+                    img.save(bio, format="JPEG", quality=quality,
+                             subsampling=subsampling,
+                             progressive=progressive)
+                    want = np.asarray(Image.open(bio))
+                    got = _decode_jpeg_raw(lib, bio.getvalue())
+                    if got is None or not np.array_equal(want, got):
+                        return False
+    if _decode_jpeg_raw(lib, b"definitely not a jpeg") is not None:
+        return False
+    return True
+
+
+def _self_check_gif(lib: ctypes.CDLL) -> bool:
+    """GIF first-frame index-band bit-parity vs Pillow (the Carvana mask
+    format: single-frame palette GIFs; lossless, so parity is exact)."""
+    import io
+
+    from PIL import Image
+
+    rng = np.random.default_rng(3)
+    # Binary mask-like, small-palette, and full-range index bands.
+    for hi in (2, 5, 256):
+        idx = rng.integers(0, hi, size=(23, 31), dtype=np.uint8)
+        pimg = Image.fromarray(idx, mode="P")
+        bio = io.BytesIO()
+        pimg.save(bio, format="GIF")
+        want = np.asarray(Image.open(bio))
+        got = _decode_gif_raw(lib, bio.getvalue())
+        if got is None or not np.array_equal(want, got):
+            return False
+    if _decode_gif_raw(lib, b"GIF89a but corrupt") is not None:
         return False
     return True
 
