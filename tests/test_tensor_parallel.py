@@ -229,3 +229,43 @@ def test_tp_shards_unetpp_too():
     y_tp, l_tp = run(mesh)
     np.testing.assert_allclose(y_tp, y_ref, atol=1e-4)
     np.testing.assert_allclose(l_tp, l_ref, rtol=5e-4)
+
+
+def test_tp_shards_attention_unet_too():
+    """Attention U-Net's encoder/decoder reuses the DoubleConv structure,
+    so the Megatron pairing shards it with no arch-specific code; the
+    attention-gate 1x1 projections are NOT DoubleConv-shaped and stay
+    replicated (correct by construction — their inputs are replicated
+    decoder/skip tensors): forward + one fp32 train step match
+    single-device."""
+    config = UNetConfig(3, 1, bilinear=True, base_channels=8,
+                        arch="attention")
+    params, state = init_unet(jax.random.PRNGKey(0), config)
+    imgs, masks = synth_batch(np.random.default_rng(1), 8, 32, 32)
+    imgs, masks = jnp.asarray(imgs), jnp.asarray(masks)
+
+    def run(mesh):
+        p0 = jax.tree.map(jnp.array, params)
+        s0 = jax.tree.map(jnp.array, state)
+        if mesh is None:
+            p, s, o = p0, s0, rmsprop_init(p0)
+            im, mk = imgs, masks
+        else:
+            p, s = shard_model(mesh, p0, s0)
+            o = shard_opt_state(mesh, rmsprop_init(p0), p0)
+            im = jax.device_put(imgs, image_sharding(mesh))
+            mk = jax.device_put(masks, image_sharding(mesh))
+        y, _ = unet_apply(p, s, im, config=config, train=False)
+        step = make_train_step(config)
+        p, s, o, loss, _ = step(p, s, o, im, mk, jnp.float32(1e-3))
+        return jax.device_get(y), float(loss)
+
+    specs = unet_param_specs(params, 2)
+    # The decoder DoubleConv is sharded; the gate projections replicated.
+    assert specs["up1"]["conv"]["conv1"]["w"] == P(None, None, None, "model")
+    assert specs["up1"]["att"]["psi"]["w"] == P()
+    mesh = make_mesh_3d(model=2)
+    y_ref, l_ref = run(None)
+    y_tp, l_tp = run(mesh)
+    np.testing.assert_allclose(y_tp, y_ref, atol=1e-4)
+    np.testing.assert_allclose(l_tp, l_ref, rtol=5e-4)

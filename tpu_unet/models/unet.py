@@ -54,7 +54,9 @@ class UNetConfig(NamedTuple):
     n_classes: int = 2
     bilinear: bool = False
     base_channels: int = 64
-    arch: str = "unet"  # "unet" (reference parity) | "unetpp" (models/unetpp.py)
+    # "unet" (reference parity) | "unetpp" (models/unetpp.py) |
+    # "attention" (models/attention_unet.py)
+    arch: str = "unet"
     deep_supervision: bool = False  # unetpp only: per-column heads, averaged
     # MFU experiment (ops/s2d.py): compute the two full-resolution C=64
     # DoubleConv levels (inc, up4) in 2×2 space-to-depth form — same math,
@@ -102,6 +104,10 @@ def init_unet(
         from tpu_unet.models.unetpp import init_unetpp
 
         return init_unetpp(key, config, dtype)
+    if config.arch == "attention":
+        from tpu_unet.models.attention_unet import init_attention_unet
+
+        return init_attention_unet(key, config, dtype)
     c = config.base_channels
     factor = 2 if config.bilinear else 1
     keys = jax.random.split(key, 10)
@@ -228,17 +234,26 @@ def unet_apply(
     step in shard_map and passes axis_name — the fused path then psums its
     stat sums for global-batch BN semantics.
     """
-    if config.arch == "unetpp":
+    if config.arch in ("unetpp", "attention"):
         if kernels:
             # Refuse rather than silently run XLA: the fused Pallas tier is
             # wired for the flagship U-Net's block layout only, and a user
             # benchmarking `--arch unetpp --kernels pallas` must not draw
             # conclusions from the wrong backend.
             raise ValueError("kernels='pallas' is not implemented for "
-                             "arch='unetpp'; use the default XLA backend")
-        from tpu_unet.models.unetpp import unetpp_apply
+                             f"arch={config.arch!r}; use the default XLA "
+                             "backend")
+        if config.arch == "unetpp":
+            from tpu_unet.models.unetpp import unetpp_apply
 
-        return unetpp_apply(
+            return unetpp_apply(
+                params, state, x, config=config, train=train,
+                compute_dtype=compute_dtype, remat=remat,
+                axis_name=axis_name,
+            )
+        from tpu_unet.models.attention_unet import attention_unet_apply
+
+        return attention_unet_apply(
             params, state, x, config=config, train=train,
             compute_dtype=compute_dtype, remat=remat, axis_name=axis_name,
         )

@@ -201,7 +201,7 @@ def get_args(argv=None):
     parser.add_argument("--tile-sharded", action="store_true", default=False,
                         help="Shard image bands across all devices with ICI halo "
                              "exchange (large images, multi-chip)")
-    parser.add_argument("--arch", choices=["unet", "unetpp"], default="unet",
+    parser.add_argument("--arch", choices=["unet", "unetpp", "attention"], default="unet",
                         help="Model family the checkpoint was trained with")
     parser.add_argument("--crf", action="store_true", default=False,
                         help="Mean-field CRF refinement of the probabilities "
