@@ -134,3 +134,60 @@ def test_attention_checkpoint_roundtrip(tmp_path):
     a, _ = unet_apply(params, state, x, config=CONFIG, train=False)
     b, _ = unet_apply(p2, s2, x, config=CONFIG, train=False)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_attention_folded_inference_matches_train_false():
+    """fold_bn folds the gate projections too: unet_infer_apply(xla) ≡
+    unet_apply(train=False) for arch='attention' (both decoders)."""
+    from tpu_unet.models.infer import fold_bn, unet_infer_apply
+
+    for bilinear in (True, False):
+        config = CONFIG._replace(bilinear=bilinear)
+        params, state = init_unet(jax.random.PRNGKey(0), config)
+        # Perturb BN state so folding is non-trivial.
+        state = jax.tree.map(
+            lambda a: a + 0.05 * jnp.arange(a.size, dtype=a.dtype) / a.size,
+            state)
+        x = jnp.asarray(
+            np.random.default_rng(0).standard_normal((1, 48, 32, 3),
+                                                     dtype=np.float32))
+        ref, _ = unet_apply(params, state, x, config=config, train=False)
+        folded = fold_bn(params, state, config)
+        out = unet_infer_apply(folded, x, config=config, backend="xla")
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-3, rtol=1e-3)
+
+
+def test_fold_bn_refuses_unetpp_and_pallas_attention():
+    import pytest
+
+    from tpu_unet.models.infer import fold_bn, unet_infer_apply
+
+    cfgpp = UNetConfig(3, 2, bilinear=True, base_channels=8, arch="unetpp")
+    ppp, spp = init_unet(jax.random.PRNGKey(0), cfgpp)
+    with pytest.raises(ValueError, match="unetpp"):
+        fold_bn(ppp, spp, cfgpp)
+    params, state = init_unet(jax.random.PRNGKey(0), CONFIG)
+    folded = fold_bn(params, state, CONFIG)
+    x = jnp.zeros((1, 16, 16, 3), jnp.float32)
+    with pytest.raises(ValueError, match="flagship"):
+        unet_infer_apply(folded, x, config=CONFIG, backend="pallas")
+
+
+def test_attention_export_roundtrip(tmp_path):
+    """AOT .jaxexp export serves the attention family too (the gate math
+    is baked into the folded StableHLO)."""
+    from tpu_unet.export import export_infer
+
+    params, state = init_unet(jax.random.PRNGKey(0), CONFIG)
+    state = jax.tree.map(
+        lambda a: a + 0.03 * jnp.arange(a.size, dtype=a.dtype) / a.size,
+        state)
+    exported = export_infer(params, state, CONFIG, height=32, width=32,
+                            amp=False)
+    x = np.random.default_rng(7).standard_normal((2, 32, 32, 3),
+                                                 dtype=np.float32)
+    got = np.asarray(exported.call(jnp.asarray(x)))
+    ref, _ = unet_apply(params, state, jnp.asarray(x), config=CONFIG,
+                        train=False)
+    np.testing.assert_allclose(got, np.asarray(ref), atol=1e-3, rtol=1e-3)

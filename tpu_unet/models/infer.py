@@ -30,23 +30,34 @@ from tpu_unet.ops import (
 BN_EPS = 1e-5
 
 
+def _fold_affine(w, bn_p, bn_s):
+    """One Conv(no bias)→BN pair → (w, scale, bias) eval affine."""
+    gamma = bn_p["scale"].astype(jnp.float32)
+    beta = bn_p["bias"].astype(jnp.float32)
+    scale = gamma * jax.lax.rsqrt(bn_s.var + BN_EPS)
+    return {"w": w, "scale": scale, "bias": beta - bn_s.mean * scale}
+
+
 def fold_bn(params: Params, state: State, config: UNetConfig) -> Params:
-    """Fold BN (γ, β, μ, σ²) into per-conv (w, scale, bias) for inference."""
+    """Fold BN (γ, β, μ, σ²) into per-conv (w, scale, bias) for inference.
+
+    Supports the flagship U-Net and the attention family (whose gate
+    projections are also Conv→BN pairs). UNet++ keeps per-node dense-skip
+    state and is served through ``unet_apply(train=False)`` instead — a
+    clear refusal here beats a silent wrong-keys walk.
+    """
+    if config.arch not in ("unet", "attention"):
+        raise ValueError(
+            f"fold_bn/unet_infer_apply support arch='unet'/'attention', not "
+            f"arch={config.arch!r}; serve/predict that family through the "
+            "standard unet_apply eval path")
 
     def fold_double_conv(p, s):
-        out = {}
-        for i in ("1", "2"):
-            gamma = p[f"bn{i}"]["scale"].astype(jnp.float32)
-            beta = p[f"bn{i}"]["bias"].astype(jnp.float32)
-            mean = s[f"bn{i}"].mean
-            var = s[f"bn{i}"].var
-            scale = gamma * jax.lax.rsqrt(var + BN_EPS)
-            out[f"conv{i}"] = {
-                "w": p[f"conv{i}"]["w"],
-                "scale": scale,
-                "bias": beta - mean * scale,
-            }
-        return out
+        return {
+            f"conv{i}": _fold_affine(p[f"conv{i}"]["w"], p[f"bn{i}"],
+                                     s[f"bn{i}"])
+            for i in ("1", "2")
+        }
 
     folded: Params = {"inc": fold_double_conv(params["inc"], state["inc"])}
     for i in range(1, 5):
@@ -55,6 +66,12 @@ def fold_bn(params: Params, state: State, config: UNetConfig) -> Params:
         blk = {"conv": fold_double_conv(params[f"up{i}"]["conv"], state[f"up{i}"]["conv"])}
         if not config.bilinear:
             blk["up"] = params[f"up{i}"]["up"]
+        if config.arch == "attention":
+            ap, as_ = params[f"up{i}"]["att"], state[f"up{i}"]["att"]
+            blk["att"] = {
+                k: _fold_affine(ap[k]["w"], ap[f"bn_{bn}"], as_[f"bn_{bn}"])
+                for k, bn in (("wg", "g"), ("wx", "x"), ("psi", "psi"))
+            }
         folded[f"up{i}"] = blk
     folded["outc"] = params["outc"]
     return folded
@@ -68,6 +85,18 @@ def _fused_conv(x, cw, *, backend):
     h = conv2d(x, cw["w"], stride=1, padding=1)
     h = h * cw["scale"] + cw["bias"]
     return jax.nn.relu(h).astype(x.dtype)
+
+
+def _affine_1x1(x, cw):
+    """Folded 1x1 Conv→BN (no activation): the attention-gate projections."""
+    h = conv2d(x, cw["w"], stride=1, padding=0)
+    return (h * cw["scale"] + cw["bias"]).astype(x.dtype)
+
+
+def _gated_skip(skip, up, att):
+    """skip * sigmoid(psi(relu(wg(up) + wx(skip)))), all BN-folded."""
+    a = jax.nn.relu(_affine_1x1(up, att["wg"]) + _affine_1x1(skip, att["wx"]))
+    return skip * jax.nn.sigmoid(_affine_1x1(a, att["psi"]))
 
 
 def _double_conv(x, p, *, backend):
@@ -102,6 +131,10 @@ def unet_infer_apply(
         x = x.astype(compute_dtype)
         folded = jax.tree.map(lambda p: p.astype(compute_dtype), folded)
 
+    if config.arch == "attention" and backend == "pallas":
+        raise ValueError("the Pallas fused-inference tier is wired for the "
+                         "flagship U-Net only; use backend='xla' for "
+                         "arch='attention'")
     if backend == "pallas":
         from tpu_unet.kernels.pooling import max_pool2x2 as pool
     else:
@@ -123,6 +156,8 @@ def unet_infer_apply(
             up = conv_transpose2d(h, blk["up"]["w"], stride=2)
             up = (up + blk["up"]["b"].astype(jnp.float32)).astype(h.dtype)
         up = pad_to_match(up, skip)
+        if config.arch == "attention":
+            skip = _gated_skip(skip, up, blk["att"])
         if backend == "pallas":
             # Fused skip-concatenation: the decoder's first conv reads both
             # sources directly — the concat tensor never exists in HBM.
