@@ -191,3 +191,30 @@ def test_attention_export_roundtrip(tmp_path):
     ref, _ = unet_apply(params, state, jnp.asarray(x), config=CONFIG,
                         train=False)
     np.testing.assert_allclose(got, np.asarray(ref), atol=1e-3, rtol=1e-3)
+
+
+def test_attention_halo_sharded_matches_full():
+    """The halo-exchange spatially-sharded forward is arch-generic: the
+    attention gates are 1x1 projections, so the receptive-field/halo
+    contract is the flagship's — sharded ≡ full-image to fp32 tolerance."""
+    from jax.sharding import Mesh
+
+    from tpu_unet.parallel.tiling import make_halo_sharded_forward
+
+    config = CONFIG._replace(n_classes=1, base_channels=4)
+    params, state = init_unet(jax.random.PRNGKey(0), config)
+    state = jax.tree.map(
+        lambda a: a + 0.02 * jnp.arange(a.size, dtype=a.dtype) / a.size,
+        state)
+    devices = jax.devices()[:4]
+    mesh = Mesh(devices, ("spatial",))
+    # halo 128 > the depth-5 U-Net's one-sided receptive field (110 px,
+    # measured in test_tiling.py); the gates don't widen it.
+    x = jnp.asarray(
+        np.random.default_rng(11).standard_normal((1, 4 * 256, 64, 3),
+                                                  dtype=np.float32))
+    full, _ = unet_apply(params, state, x, config=config, train=False)
+    fwd = make_halo_sharded_forward(mesh, config, halo=128)
+    sharded = fwd(params, state, x)
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(full),
+                               atol=5e-4, rtol=1e-4)
