@@ -106,3 +106,48 @@ def test_evaluate_cli_data_parallel(tmp_path):
     solo = evaluate_main(common)
     dp = evaluate_main(common + ["--data-parallel"])
     np.testing.assert_allclose(dp, solo, rtol=1e-5)
+
+
+def test_per_class_mean_reproduces_scalar():
+    """mean(per-class Dice[1:]) == the background-excluded scalar, and the
+    binary per-class vector is the scalar itself."""
+    from tpu_unet.evaluate import eval_step_per_class
+    from tpu_unet.models import init_unet
+
+    rng = np.random.default_rng(3)
+    # Multiclass:
+    config = UNetConfig(3, 4, bilinear=False, base_channels=8)
+    params, state = init_unet(jax.random.PRNGKey(1), config)
+    x = jnp.asarray(rng.random((2, 32, 32, 3), dtype=np.float32))
+    masks = jnp.asarray(rng.integers(0, 4, (2, 32, 32)))
+    dice, iou = eval_step(params, state, x, masks, config=config)
+    dice_c, iou_c = eval_step_per_class(params, state, x, masks, config=config)
+    assert dice_c.shape == (4,) and iou_c.shape == (4,)
+    np.testing.assert_allclose(float(jnp.mean(dice_c[1:])), float(dice), atol=1e-6)
+    np.testing.assert_allclose(float(jnp.mean(iou_c[1:])), float(iou), atol=1e-6)
+    # Binary:
+    config1 = UNetConfig(3, 1, bilinear=True, base_channels=8)
+    p1, s1 = init_unet(jax.random.PRNGKey(2), config1)
+    m1 = jnp.asarray(rng.integers(0, 2, (2, 32, 32)))
+    d1, i1 = eval_step(p1, s1, x, m1, config=config1)
+    d1c, i1c = eval_step_per_class(p1, s1, x, m1, config=config1)
+    np.testing.assert_allclose(float(d1c[0]), float(d1), atol=1e-6)
+    np.testing.assert_allclose(float(i1c[0]), float(i1), atol=1e-6)
+
+
+def test_evaluate_cli_per_class_and_tta(tmp_path, capsys):
+    from tpu_unet.checkpoint import save_checkpoint
+    from tpu_unet.data import make_synthetic_carvana
+    from tpu_unet.evaluate import main as evaluate_main
+    from tpu_unet.models import init_unet
+
+    make_synthetic_carvana(tmp_path / "d", n=4, h=32, w=48)
+    config = UNetConfig(3, 1, bilinear=True, base_channels=8)
+    params, state = init_unet(jax.random.PRNGKey(0), config)
+    ckpt = tmp_path / "m.npz"
+    save_checkpoint(ckpt, params, state, mask_values=[0, 255],
+                    extra={"config": config._asdict()})
+    evaluate_main(["-m", str(ckpt), "--data-dir", str(tmp_path / "d"),
+                   "-s", "1.0", "-b", "4", "--per-class", "--tta"])
+    out = capsys.readouterr().out
+    assert "class 0:" in out and "Dice:" in out

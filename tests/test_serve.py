@@ -574,3 +574,31 @@ def test_multi_model_routing(tmp_path, rng):
         server.shutdown()
         for p_ in preds.values():
             p_.stop()
+
+
+def test_tta_serving_matches_predict_tta(rng):
+    """A --tta predictor returns exactly predict_img(..., tta=True)."""
+    from tpu_unet.predict import predict_img
+
+    config = UNetConfig(3, 1, bilinear=True, base_channels=8)
+    params, state = init_unet(jax.random.PRNGKey(0), config)
+    p = BatchedPredictor(
+        params, state, config, [0, 255],
+        scale=1.0, amp=False, max_batch=2, batch_window_ms=5.0, tta=True,
+    )
+    try:
+        img = _img(rng)
+        got = p.predict_one(img)
+        want = predict_img(params, state, config, img, scale_factor=1.0,
+                           tta=True)
+        np.testing.assert_array_equal(got, want)
+    finally:
+        p.stop()
+
+
+def test_tta_mode_exclusive():
+    config = UNetConfig(3, 1, bilinear=True, base_channels=8)
+    params, state = init_unet(jax.random.PRNGKey(0), config)
+    with pytest.raises(ValueError):
+        BatchedPredictor(params, state, config, [0, 255],
+                         tta=True, tile=32)

@@ -107,6 +107,11 @@ def run(preset: str = "full", data_dir: str | None = None,
                              scale=1.0, cache=True)
     held_loader = DataLoader(held_ds, batch)
     held_dice, held_iou = evaluate(params, state, held_loader, config, amp=amp)
+    # Flip-ensemble TTA on the held-out split (reported, ungated): the
+    # cheap inference-time quality lever `predict --tta` exposes, measured
+    # on the distribution the tuning loop never saw.
+    tta_held_dice, tta_held_iou = evaluate(params, state, held_loader, config,
+                                           amp=amp, tta=True)
 
     ema_metrics = {}
     if ema_decay is not None:
@@ -134,6 +139,8 @@ def run(preset: str = "full", data_dir: str | None = None,
         "final_val_iou": round(float(iou), 4),
         "heldout_dice": round(float(held_dice), 4),
         "heldout_iou": round(float(held_iou), 4),
+        "heldout_dice_tta": round(float(tta_held_dice), 4),
+        "heldout_iou_tta": round(float(tta_held_iou), 4),
         "heldout_n": len(held_ds),
         "first_loss": round(hist["train_loss"][0], 3) if hist["train_loss"] else None,
         "last_loss": round(hist["train_loss"][-1], 3) if hist["train_loss"] else None,

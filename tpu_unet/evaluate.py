@@ -23,17 +23,29 @@ from tpu_unet.losses import dice_coeff, iou_coeff, multiclass_dice_coeff
 from tpu_unet.models import UNetConfig, unet_apply
 
 
-@functools.partial(jax.jit, static_argnames=("config", "amp"))
-def eval_step(params, state, images, masks, *, config: UNetConfig, amp: bool = False):
-    """Dice (+IoU) for one validation batch. images NHWC, masks NHW int."""
-    logits, _ = unet_apply(
-        params,
-        state,
-        images,
-        config=config,
-        train=False,
-        compute_dtype=jnp.bfloat16 if amp else None,
-    )
+@functools.partial(jax.jit, static_argnames=("config", "amp", "tta"))
+def eval_step(params, state, images, masks, *, config: UNetConfig,
+              amp: bool = False, tta: bool = False):
+    """Dice (+IoU) for one validation batch. images NHWC, masks NHW int.
+
+    ``tta`` ensembles the four flip views (models/tta.py) in one batched
+    forward before thresholding — the measurement twin of ``predict --tta``.
+    """
+    compute_dtype = jnp.bfloat16 if amp else None
+    if tta:
+        from tpu_unet.models.tta import tta_logits
+
+        logits = tta_logits(params, state, images, config=config,
+                            compute_dtype=compute_dtype)
+    else:
+        logits, _ = unet_apply(
+            params,
+            state,
+            images,
+            config=config,
+            train=False,
+            compute_dtype=compute_dtype,
+        )
     if config.n_classes == 1:
         pred = (jax.nn.sigmoid(logits[..., 0]) > 0.5).astype(jnp.float32)
         tgt = masks.astype(jnp.float32)
@@ -46,6 +58,45 @@ def eval_step(params, state, images, masks, *, config: UNetConfig, amp: bool = F
             multiclass_dice_coeff(pred_oh[..., 1:], mask_oh[..., 1:], reduce_batch_first=False),
             iou_coeff(pred_oh[..., 1:], mask_oh[..., 1:]),
         )
+
+
+@functools.partial(jax.jit, static_argnames=("config", "amp", "tta"))
+def eval_step_per_class(params, state, images, masks, *, config: UNetConfig,
+                        amp: bool = False, tta: bool = False):
+    """Per-class Dice and IoU vectors [n_classes] for one batch.
+
+    Diagnostic companion to eval_step (beyond-reference: the reference
+    reports only the background-excluded mean, SURVEY.md §3.4). Same
+    thresholding semantics; each class's score is the mean over the batch of
+    its per-sample ratio, so mean(dice[1:]) over classes reproduces
+    eval_step's background-excluded scalar exactly.
+    """
+    compute_dtype = jnp.bfloat16 if amp else None
+    if tta:
+        from tpu_unet.models.tta import tta_logits
+
+        logits = tta_logits(params, state, images, config=config,
+                            compute_dtype=compute_dtype)
+    else:
+        logits, _ = unet_apply(params, state, images, config=config,
+                               train=False, compute_dtype=compute_dtype)
+    if config.n_classes == 1:
+        pred_oh = (jax.nn.sigmoid(logits[..., :1]) > 0.5).astype(jnp.float32)
+        mask_oh = masks.astype(jnp.float32)[..., None]
+    else:
+        pred_oh = jax.nn.one_hot(jnp.argmax(logits, axis=-1), config.n_classes)
+        mask_oh = jax.nn.one_hot(masks, config.n_classes)
+    eps = 1e-6
+    inter = jnp.sum(pred_oh * mask_oh, axis=(1, 2))  # [N, C]
+    s_pred = jnp.sum(pred_oh, axis=(1, 2))
+    s_mask = jnp.sum(mask_oh, axis=(1, 2))
+    sets = s_pred + s_mask
+    sets = jnp.where(sets == 0, 2 * inter, sets)  # empty-mask guard, as dice_coeff
+    dice_c = jnp.mean((2 * inter + eps) / (sets + eps), axis=0)  # [C]
+    union = s_pred + s_mask - inter
+    union = jnp.where(union == 0, inter, union)
+    iou_c = jnp.mean((inter + eps) / (union + eps), axis=0)
+    return dice_c, iou_c
 
 
 def _shardable(sharding, shape) -> bool:
@@ -65,6 +116,7 @@ def evaluate(
     config: UNetConfig,
     amp: bool = False,
     sharding=None,
+    tta: bool = False,
 ):
     """Mean validation Dice over the loader (reference signature analog).
 
@@ -91,7 +143,8 @@ def evaluate(
             # MultiHostBatches loader are already laid out on the mesh.
             images = jax.device_put(images, sharding)
             masks = jax.device_put(masks, sharding)
-        d, i = eval_step(params, state, images, masks, config=config, amp=amp)
+        d, i = eval_step(params, state, images, masks, config=config, amp=amp,
+                         tta=tta)
         pair = jnp.stack([d, i])
         total = pair if total is None else total + pair
         n += 1
@@ -99,6 +152,40 @@ def evaluate(
         return 0.0, 0.0  # reference's ÷max(n,1) on an empty loader
     dice, iou = (float(v) for v in jax.device_get(total))
     return dice / n, iou / n
+
+
+def evaluate_per_class(
+    params,
+    state,
+    dataloader,
+    config: UNetConfig,
+    amp: bool = False,
+    sharding=None,
+    tta: bool = False,
+):
+    """Per-class mean (Dice[c], IoU[c]) over the loader — same lazy on-device
+    accumulation as evaluate(): one D2H sync for the whole split."""
+    total = None
+    n = 0
+    for batch in dataloader:
+        images = jnp.asarray(batch["image"])
+        masks = jnp.asarray(batch["mask"])
+        if (sharding is not None and images.is_fully_addressable
+                and _shardable(sharding, images.shape)):
+            images = jax.device_put(images, sharding)
+            masks = jax.device_put(masks, sharding)
+        d, i = eval_step_per_class(params, state, images, masks, config=config,
+                                   amp=amp, tta=tta)
+        pair = jnp.stack([d, i])
+        total = pair if total is None else total + pair
+        n += 1
+    if total is None:
+        import numpy as np
+
+        z = np.zeros(config.n_classes)
+        return z, z
+    dice_c, iou_c = jax.device_get(total)
+    return dice_c / n, iou_c / n
 
 
 def main(argv=None):
@@ -125,6 +212,12 @@ def main(argv=None):
                    help="Shard each eval batch over all visible chips "
                         "(GSPMD; batches that don't divide the mesh run "
                         "unsharded)")
+    p.add_argument("--tta", action="store_true", default=False,
+                   help="Flip-ensemble test-time augmentation (4 views, "
+                        "one batched forward)")
+    p.add_argument("--per-class", action="store_true", default=False,
+                   help="Additionally report per-class Dice/IoU (multiclass: "
+                        "class 0 is background, excluded from the mean)")
     args = p.parse_args(argv)
     logging.basicConfig(level=logging.INFO, format="%(levelname)s: %(message)s")
 
@@ -155,8 +248,15 @@ def main(argv=None):
         params = jax.device_put(params, replicated(mesh))
         state = jax.device_put(state, replicated(mesh))
     dice, iou = evaluate(params, state, loader, config, amp=args.amp,
-                         sharding=sharding)
+                         sharding=sharding, tta=args.tta)
     print(f"Dice: {dice:.6f}  IoU: {iou:.6f}  (n={len(ds)})")
+    if args.per_class:
+        dice_c, iou_c = evaluate_per_class(
+            params, state, loader, config, amp=args.amp,
+            sharding=sharding, tta=args.tta)
+        for c in range(config.n_classes):
+            tag = " (background)" if config.n_classes > 1 and c == 0 else ""
+            print(f"  class {c}: Dice {dice_c[c]:.6f}  IoU {iou_c[c]:.6f}{tag}")
     return dice
 
 

@@ -1,0 +1,64 @@
+"""Test-time augmentation: dihedral-flip ensembling in ONE batched forward.
+
+Beyond-reference capability (the reference predicts each image once;
+SURVEY.md §2 #17). Segmentation masks are equivariant under the flip
+subgroup {identity, hflip, vflip, rot180}, so averaging predictions over
+those four views is the classic cheap accuracy lever (the full D4 group
+needs square images; flips work for any H×W).
+
+TPU-native formulation: the four views are CONCATENATED on the batch axis
+and run as one forward — a b·4 program keeps the MXU at its batched
+efficiency instead of paying four small dispatches, and one compile covers
+all views. The inverse flips are applied to the per-view logits, which are
+then averaged. Averaging LOGITS (= geometric mean of the odds) rather than
+probabilities keeps the downstream contract untouched: the reference's
+parity-critical order (upscale logits to the original size, THEN
+threshold/argmax — SURVEY.md §3.2) applies to the merged logits exactly as
+it does to single-view logits.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from tpu_unet.models.unet import UNetConfig, unet_apply
+
+# (flip_h, flip_w) for each view; identity first.
+TTA_FLIPS = ((False, False), (False, True), (True, False), (True, True))
+
+
+def _flip(x, flip_h: bool, flip_w: bool):
+    if flip_h:
+        x = x[:, ::-1]
+    if flip_w:
+        x = x[:, :, ::-1]
+    return x
+
+
+def tta_views(x):
+    """[N,H,W,C] → [4N,H,W,C]: the four flip views, batch-concatenated."""
+    return jnp.concatenate([_flip(x, fh, fw) for fh, fw in TTA_FLIPS], axis=0)
+
+
+def tta_merge(view_logits, n: int):
+    """Invert each view's flip and average: [4N,H,W,C] logits → [N,H,W,C].
+
+    The flips are involutions, so inverse = the same flip.
+    """
+    parts = [
+        _flip(view_logits[i * n:(i + 1) * n], fh, fw)
+        for i, (fh, fw) in enumerate(TTA_FLIPS)
+    ]
+    total = parts[0]
+    for p in parts[1:]:
+        total = total + p
+    return total / len(parts)
+
+
+def tta_logits(params, state, x, *, config: UNetConfig, compute_dtype=None):
+    """Flip-ensembled logits for a batch, as one traced forward."""
+    logits, _ = unet_apply(
+        params, state, tta_views(x), config=config, train=False,
+        compute_dtype=compute_dtype,
+    )
+    return tta_merge(logits, x.shape[0])

@@ -50,6 +50,20 @@ def _forward_full(params, state, x, *, config: UNetConfig, full_h: int, full_w: 
     return resize_bilinear(logits, full_h, full_w, align_corners=False)
 
 
+@functools.partial(jax.jit, static_argnames=("config", "full_h", "full_w", "amp"))
+def _forward_full_tta(params, state, x, *, config: UNetConfig, full_h: int, full_w: int, amp: bool = False):
+    """Flip-ensembled forward (models/tta.py): four views, ONE batched
+    program; merged logits then follow the exact reference order
+    (upscale → threshold), so --tta composes with everything downstream."""
+    from tpu_unet.models.tta import tta_logits
+
+    logits = tta_logits(
+        params, state, x, config=config,
+        compute_dtype=jnp.bfloat16 if amp else None,
+    )
+    return resize_bilinear(logits, full_h, full_w, align_corners=False)
+
+
 def predict_img(
     params,
     state,
@@ -59,16 +73,20 @@ def predict_img(
     out_threshold: float = 0.5,
     amp: bool = False,
     use_crf: bool = False,
+    tta: bool = False,
 ) -> np.ndarray:
     """Predict a mask for one PIL image at its ORIGINAL resolution.
 
     use_crf applies mean-field CRF refinement to the probabilities before
     thresholding (legacy-reference utils/crf.py capability, SURVEY.md §A.1).
+    tta averages logits over the four flip views (models/tta.py) before the
+    reference's upscale→threshold pipeline.
     """
     img = BasicDataset.preprocess(None, full_img, scale_factor, is_mask=False)
     x = jnp.asarray(img)[None]  # [1,H,W,C]
     full_w, full_h = full_img.size
-    logits = _forward_full(
+    fwd = _forward_full_tta if tta else _forward_full
+    logits = fwd(
         params, state, x, config=config, full_h=full_h, full_w=full_w, amp=amp
     )
     if config.n_classes > 1:
@@ -206,6 +224,10 @@ def get_args(argv=None):
     parser.add_argument("--crf", action="store_true", default=False,
                         help="Mean-field CRF refinement of the probabilities "
                              "(legacy-reference utils/crf.py capability)")
+    parser.add_argument("--tta", action="store_true", default=False,
+                        help="Test-time augmentation: average logits over the "
+                             "four flip views (one batched forward) before "
+                             "thresholding")
     parser.add_argument("--kernels", choices=["xla", "pallas"], default=None,
                         help="Fold BN and run the fused inference path with this backend "
                              "(default: the reference-parity train-graph forward)")
@@ -224,6 +246,11 @@ def main(argv=None):
     logging.basicConfig(level=logging.INFO, format="%(levelname)s: %(message)s")
     in_files = args.input
     out_files = get_output_filenames(args)
+    if args.tta and (args.tile or args.tile_sharded or args.kernels):
+        # The tiled/fused paths have their own forwards; keep --tta explicit
+        # rather than silently ignored there.
+        raise SystemExit("--tta composes with the default forward only "
+                         "(not --tile/--tile-sharded/--kernels)")
 
     config = UNetConfig(
         n_channels=3, n_classes=args.classes, bilinear=args.bilinear, arch=args.arch
@@ -276,7 +303,7 @@ def main(argv=None):
             mask = predict_img(
                 params, state, config, img,
                 scale_factor=args.scale, out_threshold=args.mask_threshold,
-                amp=args.amp, use_crf=args.crf,
+                amp=args.amp, use_crf=args.crf, tta=args.tta,
             )
 
         if not args.no_save:

@@ -121,6 +121,7 @@ class BatchedPredictor:
         fixed_batch: int | None = None,
         tile: int | None = None,
         halo: int = 128,
+        tta: bool = False,
     ):
         """``fwd``/``static_hw`` serve a pre-compiled artifact (export.py):
         ``fwd`` is called instead of building a model from params/state, and
@@ -154,6 +155,10 @@ class BatchedPredictor:
         if tile and (fwd is not None or kernels):
             raise ValueError("--tile serving requires the default XLA "
                              "checkpoint path (not artifact/pallas mode)")
+        if tta and (fwd is not None or kernels or tile):
+            raise ValueError("--tta serving composes with the default XLA "
+                             "checkpoint forward only (not artifact/pallas/"
+                             "tile mode)")
         if fwd is not None:
             pass  # exported-artifact forward, used as-is
         elif kernels:
@@ -164,6 +169,17 @@ class BatchedPredictor:
             def fwd(x):
                 return unet_infer_apply(
                     folded, x, config=config, backend=kernels,
+                    compute_dtype=jnp.bfloat16 if amp else None,
+                )
+        elif tta:
+            from tpu_unet.models.tta import tta_logits
+
+            @functools.partial(jax.jit)
+            def fwd(x):
+                # Flip-ensembled logits: 4 views as ONE batched forward
+                # (models/tta.py) — the serving twin of `predict --tta`.
+                return tta_logits(
+                    params, state, x, config=config,
                     compute_dtype=jnp.bfloat16 if amp else None,
                 )
         else:
@@ -522,11 +538,11 @@ def build_predictor(model_path: str, args) -> BatchedPredictor:
     if str(model_path).endswith(".jaxexp"):
         from tpu_unet.export import load_artifact_meta, load_exported
 
-        if args.tile or args.kernels:
+        if args.tile or args.kernels or args.tta:
             # Reject rather than silently serve the full-image path: the
-            # artifact IS the compiled program — there is no tiler or
-            # kernel backend to select at the serving site.
-            raise SystemExit("--tile/--kernels do not apply to .jaxexp "
+            # artifact IS the compiled program — there is no tiler, kernel
+            # backend, or TTA ensemble to select at the serving site.
+            raise SystemExit("--tile/--kernels/--tta do not apply to .jaxexp "
                              "artifacts (the artifact is the compiled "
                              "program); re-export or serve a checkpoint")
         exported = load_exported(model_path)
@@ -586,7 +602,7 @@ def build_predictor(model_path: str, args) -> BatchedPredictor:
         scale=args.scale, threshold=args.mask_threshold, amp=args.amp,
         max_batch=args.max_batch, batch_window_ms=args.batch_window_ms,
         kernels=args.kernels, timeout_s=args.timeout_s,
-        tile=args.tile, halo=args.halo,
+        tile=args.tile, halo=args.halo, tta=args.tta,
     )
     if args.warmup:
         h_r, w_r = (int(v) for v in args.warmup.lower().split("x"))
@@ -618,6 +634,9 @@ def main(argv=None):
     p.add_argument("--max-batch", type=int, default=8)
     p.add_argument("--batch-window-ms", type=float, default=5.0)
     p.add_argument("--kernels", choices=["xla", "pallas"], default=None)
+    p.add_argument("--tta", action="store_true", default=False,
+                   help="Flip-ensemble TTA: average logits over the four "
+                        "flip views, one batched forward per request group")
     p.add_argument("--timeout-s", type=float, default=300.0,
                    help="Per-request wait bound; must cover the first "
                         "request's jit compile on a cold chip (or use "
