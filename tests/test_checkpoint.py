@@ -1,7 +1,10 @@
 """Checkpoint round-trip incl. mask_values, and .pth import parity
 (SURVEY.md §4.2, §5 checkpoint contract)."""
 
+from pathlib import Path
+
 import numpy as np
+import pytest
 import torch
 
 import jax
@@ -220,3 +223,46 @@ def test_pth_export_cli(tmp_path):
     sd = torch.load(out, map_location="cpu", weights_only=True)
     assert sd["mask_values"] == [0, 255]
     assert "inc.double_conv.0.weight" in sd
+
+
+def test_average_checkpoints(tmp_path):
+    """Uniform average: arrays equal the mean, output loads like any
+    checkpoint, metadata rides from the newest input."""
+    import sys
+
+    from tpu_unet.checkpoint import average_checkpoints
+    from tpu_unet.models import UNetConfig, init_unet
+
+    config = UNetConfig(3, 1, bilinear=True, base_channels=8)
+    p1, s1 = init_unet(jax.random.PRNGKey(1), config)
+    p2, s2 = init_unet(jax.random.PRNGKey(2), config)
+    a = tmp_path / "a.npz"
+    b = tmp_path / "b.npz"
+    save_checkpoint(a, p1, s1, mask_values=[0, 1])
+    save_checkpoint(b, p2, s2, mask_values=[0, 255],
+                    extra={"config": config._asdict(), "epoch": 5})
+    out = tmp_path / "avg.npz"
+    average_checkpoints([a, b], out)
+
+    pa, sa, mv, extra = load_checkpoint(out, p1, s1)
+    assert mv == [0, 255]  # newest input's palette
+    assert extra["averaged_from"] == ["a.npz", "b.npz"]
+    want = jax.tree.map(lambda x, y: (np.asarray(x, np.float64)
+                                      + np.asarray(y, np.float64)) / 2, p1, p2)
+    jax.tree.map(lambda got, w: np.testing.assert_allclose(
+        np.asarray(got), w.astype(np.float32), rtol=1e-7), pa, want)
+
+    # CLI drives the same path.
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    from tools.avg_checkpoints import main as avg_main
+
+    avg_main([str(a), str(b), "-o", str(tmp_path / "avg2.npz")])
+    assert (tmp_path / "avg2.npz").exists()
+
+    # Mismatched trees refuse.
+    p3, s3 = init_unet(jax.random.PRNGKey(3),
+                       UNetConfig(3, 1, bilinear=True, base_channels=16))
+    c = tmp_path / "c.npz"
+    save_checkpoint(c, p3, s3)
+    with pytest.raises(ValueError):
+        average_checkpoints([a, c], tmp_path / "bad.npz")

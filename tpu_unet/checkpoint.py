@@ -154,6 +154,61 @@ class AsyncCheckpointer:
             self._thread = None
 
 
+def average_checkpoints(paths, out_path: str | Path) -> None:
+    """Uniform weight averaging over checkpoints (SWA-style; beyond-reference).
+
+    Averages every ``params/*`` and ``state/*`` array across the input files
+    and writes a standard checkpoint (loadable anywhere a per-epoch one is:
+    predict/serve/evaluate/export). Tail-of-training averages are the classic
+    cheap generalization lever (Izmailov et al., arXiv:1803.05407). Notes:
+
+      * BN running stats are averaged too — an approximation (SWA proper
+        re-estimates them with a data pass); for an exactly-maintained
+        running average prefer the ``--ema-decay`` sibling checkpoints.
+      * Optimizer state is dropped (an average of RMSprop second moments is
+        not a meaningful resume point).
+      * mask_values / config metadata are taken from the LAST input (the
+        newest checkpoint, by call convention).
+    """
+    paths = [Path(p) for p in paths]
+    if not paths:
+        raise ValueError("average_checkpoints needs at least one input")
+    sums: dict[str, np.ndarray] = {}
+    dtypes: dict[str, np.dtype] = {}
+    meta = None
+    for p in paths:
+        with np.load(p, allow_pickle=False) as z:
+            meta = json.loads(bytes(z["__meta__"].tolist()).decode("utf-8"))
+            keys = [k for k in z.files
+                    if k.startswith(("params/", "state/"))]
+            if sums and set(keys) != set(sums):
+                raise ValueError(f"{p} has a different parameter tree than "
+                                 f"{paths[0]} — cannot average")
+            for k in keys:
+                arr = z[k].astype(np.float64)  # stable accumulation
+                if k in sums:
+                    if arr.shape != sums[k].shape:
+                        raise ValueError(
+                            f"shape mismatch for {k} in {p}: "
+                            f"{arr.shape} vs {sums[k].shape}")
+                    sums[k] += arr
+                else:
+                    sums[k] = arr.copy()
+                    dtypes[k] = z[k].dtype
+    inv = 1.0 / len(paths)
+    arrays = {k: (v * inv).astype(dtypes[k]) for k, v in sums.items()}
+    extra = dict(meta.get("extra", {}))
+    extra["averaged_from"] = [p.name for p in paths]
+    out_meta = {"mask_values": meta.get("mask_values"), "extra": extra,
+                "has_opt_state": False}
+    arrays["__meta__"] = np.frombuffer(
+        json.dumps(out_meta).encode("utf-8"), dtype=np.uint8)
+    out_path = Path(out_path)
+    out_path.parent.mkdir(parents=True, exist_ok=True)
+    with open(out_path, "wb") as f:
+        np.savez(f, **arrays)
+
+
 # ---------------------------------------------------------------------------
 # torch .pth importer (SURVEY.md §5: "a one-way .pth importer for parity
 # testing" and for loading the reference's released Carvana weights).
