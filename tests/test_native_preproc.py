@@ -477,3 +477,49 @@ def test_dataset_real_carvana_formats(tmp_path):
     np.testing.assert_array_equal(a["image"], b["image"])
     np.testing.assert_array_equal(a["mask"], b["mask"])
     assert a["image"].shape == (24, 32, 3) and a["mask"].shape == (24, 32)
+
+
+def test_decoders_survive_fuzzed_inputs():
+    """Adversarial bytes must return None (→ PIL fallback raises properly),
+    never crash the process: random noise, truncations of VALID files at
+    every interesting boundary, and bit flips in the payload."""
+    import numpy as np
+
+    from tpu_unet import native
+
+    rng = np.random.default_rng(0)
+    arr = (rng.random((24, 32, 3)) * 255).astype(np.uint8)
+    png = _png_bytes(arr)
+    jpg = _jpeg_bytes(Image.fromarray(arr), quality=90)
+    gif = _gif_bytes((arr[..., 0] > 127).astype(np.uint8))
+    decoders = [(native.decode_png, png), (native.decode_jpeg, jpg),
+                (native.decode_gif, gif)]
+
+    for decode, valid in decoders:
+        # Sanity: the valid stream decodes (or declines to PIL — PNG/GIF
+        # must decode; JPEG may decline if parity failed at import).
+        decode(bytes(valid))
+        # Random noise at several sizes (incl. 0 and header-sized).
+        for n in (0, 1, 6, 13, 64, 1024):
+            blob = bytes(rng.integers(0, 256, n, dtype=np.uint8))
+            assert decode(blob) is None
+        # Truncations: every prefix length on a coarse grid + the first 40
+        # byte-by-byte (headers/descriptors live there). Cuts inside the
+        # last 16 bytes may leave a complete payload missing only its
+        # trailer (e.g. PNG IEND) — those may decode; everything earlier
+        # must decline.
+        for cut in list(range(1, min(40, len(valid)))) + list(
+                range(40, len(valid), max(1, len(valid) // 37))):
+            out = decode(bytes(valid[:cut]))
+            if cut < len(valid) - 16:
+                assert out is None, f"truncated-at-{cut} stream decoded"
+            else:
+                assert out is None or out.dtype == np.uint8
+        # Payload bit flips: must either decode to SOMETHING of the right
+        # dtype or return None — never crash. (JPEG/GIF entropy streams may
+        # still decode to altered pixels; that's the format's problem.)
+        for pos in rng.integers(12, len(valid) - 5, 24):
+            mut = bytearray(valid)
+            mut[int(pos)] ^= 0xFF
+            out = decode(bytes(mut))
+            assert out is None or out.dtype == np.uint8
