@@ -55,7 +55,12 @@ def bench_batch(
     ``data_parallel``; the returned rate is the aggregate global rate)."""
     params, state = init_unet(jax.random.PRNGKey(0), config)
     opt = rmsprop_init(params)
-    step = make_train_step(config, amp=amp)
+    # Tuned compiler budget: scoped-VMEM 64 MB gives a consistent +1.5% at
+    # this shape (70.9 -> 72.0 img/s, 9 interleaved reps — BENCH_NOTES r3).
+    # TPU-only (the CPU backend rejects the option); the first call below
+    # falls back untuned if the runtime stops accepting it.
+    vmem = 65536 if jax.default_backend() not in ("cpu",) else None
+    step = make_train_step(config, amp=amp, vmem_limit_kib=vmem)
     rng = np.random.default_rng(0)
     n_dev = jax.device_count() if data_parallel else 1
     global_batch = batch * n_dev
@@ -77,7 +82,14 @@ def bench_batch(
     # Warmup: compile + one extra step to stabilize. NOTE: sync via float()
     # (D2H fetch) — on the axon PJRT relay, block_until_ready returns at
     # dispatch, not completion, which inflates throughput ~200× if trusted.
-    params, state, opt, loss, _ = step(params, state, opt, images, masks, lr)
+    try:
+        params, state, opt, loss, _ = step(params, state, opt, images, masks, lr)
+    except Exception as e:
+        if vmem and "compile option" in str(e):
+            step = make_train_step(config, amp=amp)  # runtime dropped the knob
+            params, state, opt, loss, _ = step(params, state, opt, images, masks, lr)
+        else:
+            raise
     float(loss)
     params, state, opt, loss, _ = step(params, state, opt, images, masks, lr)
     float(loss)

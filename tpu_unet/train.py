@@ -113,6 +113,7 @@ def make_train_step(
     kernels: str | None = None,
     mesh=None,
     accum_steps: int = 1,
+    vmem_limit_kib: int | None = None,
 ):
     """Build the single fused train step: fwd+loss+bwd+clip+RMSprop.
 
@@ -125,6 +126,14 @@ def make_train_step(
     BN stat sums psum'd — which is how the Pallas kernels participate in
     data parallelism (pallas_call is not auto-partitionable under GSPMD, so
     the plain jit path cannot shard them).
+
+    ``vmem_limit_kib`` raises the TPU compiler's scoped-VMEM budget for this
+    one program via per-jit compiler options (the only route on this relay:
+    TPU backend flags in XLA_FLAGS are rejected by the CLIENT-side parser,
+    but PJRT compile options serialize through — BENCH_NOTES r3). Measured
+    at 572² b16 bf16: 70.9 → 72.0 img/s with 65536 (+1.5%, consistent
+    across 9 interleaved reps). TPU-only — the CPU backend rejects the
+    option, so tests leave it None.
 
     ``accum_steps`` > 1 runs the batch as that many microbatches under a
     ``lax.scan`` INSIDE the one program — activation memory is
@@ -203,8 +212,13 @@ def make_train_step(
             return new_params, new_bn, new_opt, loss, gnorm, grads
         return new_params, new_bn, new_opt, loss, gnorm
 
+    jit_kwargs: dict = {"donate_argnums": (0, 1, 2)}
+    if vmem_limit_kib:
+        jit_kwargs["compiler_options"] = {
+            "xla_tpu_scoped_vmem_limit_kib": str(int(vmem_limit_kib))
+        }
     if mesh is None:
-        return functools.partial(jax.jit, donate_argnums=(0, 1, 2))(step_body)
+        return functools.partial(jax.jit, **jit_kwargs)(step_body)
 
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
@@ -217,7 +231,7 @@ def make_train_step(
         out_specs=(P(),) * n_out,
         check_vma=False,
     )
-    return functools.partial(jax.jit, donate_argnums=(0, 1, 2))(sharded)
+    return functools.partial(jax.jit, **jit_kwargs)(sharded)
 
 
 def train_model(
@@ -252,6 +266,7 @@ def train_model(
     accum_steps: int = 1,
     ema_decay: float | None = None,
     augment=None,
+    vmem_limit_kib: int | None = None,
 ):
     """The reference's train_model, TPU-native. Returns (params, bn_state, history)."""
     if accum_steps > 1 and batch_size % accum_steps:
@@ -451,6 +466,7 @@ def train_model(
         config, amp=amp, remat=remat, weight_decay=weight_decay,
         momentum=momentum, grad_clip=gradient_clipping,
         kernels=kernels, mesh=step_mesh, accum_steps=accum_steps,
+        vmem_limit_kib=vmem_limit_kib,
     )
 
     # W&B histograms (5×/epoch) get their own compiled step instead of
@@ -919,6 +935,11 @@ def get_args(argv=None):
     parser.add_argument("--checkpoint-dir", type=str, default=str(dir_checkpoint))
     parser.add_argument("--data-dir", type=str, default="./data")
     parser.add_argument("--wandb", action="store_true", default=False, help="Enable W&B logging (offline by default)")
+    parser.add_argument("--vmem-limit-mb", type=int, default=None, metavar="MB",
+                        help="Raise the TPU compiler's scoped-VMEM budget for "
+                             "the train step (per-jit compiler option). "
+                             "Measured: 64 gives +1.5%% at 572^2 b16 bf16 "
+                             "(BENCH_NOTES r3). TPU-only; ignored elsewhere")
     parser.add_argument("--kernels", choices=["xla", "pallas"], default=None,
                         help="Conv backend for the train step: fused Pallas "
                              "kernels (shard_map under --data-parallel) or "
@@ -1052,6 +1073,9 @@ def main(argv=None):
             tensor_parallel=args.tensor_parallel,
             accum_steps=args.accum_steps,
             ema_decay=args.ema_decay,
+            vmem_limit_kib=(args.vmem_limit_mb * 1024
+                            if (args.vmem_limit_mb
+                                and jax.default_backend() != "cpu") else None),
             keep_checkpoints=args.keep_checkpoints,
             save_best=args.save_best,
             augment=_default_augment() if args.augment else None,
