@@ -20,3 +20,36 @@ def test_rle_known_value():
 def test_rle_empty_and_full():
     assert rle_encode(np.zeros((4, 4), np.uint8)) == ""
     assert rle_encode(np.ones((2, 2), np.uint8)) == "1 4"
+
+
+def test_submit_cli_tta(tmp_path):
+    """End-to-end CLI incl. --tta: rows decode back to predict_img(tta=True)."""
+    from PIL import Image
+
+    import jax
+
+    from tpu_unet.checkpoint import save_checkpoint
+    from tpu_unet.models import UNetConfig, init_unet
+    from tpu_unet.predict import predict_img
+    from tpu_unet.submit import main as submit_main
+
+    config = UNetConfig(3, 1, bilinear=True, base_channels=8)
+    params, state = init_unet(jax.random.PRNGKey(0), config)
+    ckpt = tmp_path / "m.npz"
+    # Self-describing checkpoint: submit must rebuild base_channels=8 from
+    # the stored config rather than the CLI default.
+    save_checkpoint(ckpt, params, state, mask_values=[0, 1],
+                    extra={"config": config._asdict()})
+    rng_l = np.random.default_rng(0)
+    in_dir = tmp_path / "imgs"
+    in_dir.mkdir()
+    img = Image.fromarray((rng_l.random((32, 48, 3)) * 255).astype(np.uint8))
+    img.save(in_dir / "a.png")
+    out = tmp_path / "SUB.csv"
+    submit_main(["-m", str(ckpt), "-i", str(in_dir), "-o", str(out),
+                 "-s", "1.0", "--bilinear", "--tta"])
+    header, row = out.read_text().strip().splitlines()
+    assert header == "img,rle_mask"
+    name, rle = row.split(",", 1)
+    want = predict_img(params, state, config, img, scale_factor=1.0, tta=True)
+    assert np.array_equal(rle_decode(rle, want.shape), want.astype(np.uint8))

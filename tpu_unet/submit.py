@@ -40,8 +40,13 @@ def rle_decode(rle: str, shape: tuple[int, int]) -> np.ndarray:
     return out.reshape(shape, order="F")
 
 
-def submit(model_path, in_dir, out_csv, scale=0.5, threshold=0.5, bilinear=False):
-    """Predict every image in ``in_dir`` and write an RLE submission CSV."""
+def submit(model_path, in_dir, out_csv, scale=0.5, threshold=0.5, bilinear=False,
+           tta=False):
+    """Predict every image in ``in_dir`` and write an RLE submission CSV.
+
+    ``tta`` flip-ensembles each prediction (models/tta.py) — the classic
+    leaderboard lever for a Carvana submission.
+    """
     import jax
 
     from tpu_unet.checkpoint import import_pth, load_checkpoint
@@ -49,10 +54,17 @@ def submit(model_path, in_dir, out_csv, scale=0.5, threshold=0.5, bilinear=False
     from tpu_unet.predict import predict_img
 
     config = UNetConfig(3, 1, bilinear=bilinear)
-    params, state = init_unet(jax.random.PRNGKey(0), config)
     if str(model_path).endswith(".pth"):
         params, state, _ = import_pth(model_path, config)
     else:
+        from tpu_unet.checkpoint import read_checkpoint_meta
+
+        _, extra = read_checkpoint_meta(model_path)
+        if "config" in extra:
+            # Self-describing checkpoint: its stored config wins (same
+            # contract as predict.py/evaluate.py).
+            config = UNetConfig(**extra["config"])
+        params, state = init_unet(jax.random.PRNGKey(0), config)
         params, state, _, _ = load_checkpoint(model_path, params, state)
 
     files = sorted(
@@ -64,7 +76,7 @@ def submit(model_path, in_dir, out_csv, scale=0.5, threshold=0.5, bilinear=False
             img = Image.open(Path(in_dir) / name)
             mask = predict_img(
                 params, state, config, img,
-                scale_factor=scale, out_threshold=threshold,
+                scale_factor=scale, out_threshold=threshold, tta=tta,
             )
             f.write(f"{name},{rle_encode(mask)}\n")
             logger.info("encoded %s", name)
@@ -79,9 +91,12 @@ def main(argv=None):
     p.add_argument("--scale", "-s", type=float, default=0.5)
     p.add_argument("--mask-threshold", "-t", type=float, default=0.5)
     p.add_argument("--bilinear", action="store_true")
+    p.add_argument("--tta", action="store_true", default=False,
+                   help="Flip-ensemble test-time augmentation")
     a = p.parse_args(argv)
     logging.basicConfig(level=logging.INFO, format="%(levelname)s: %(message)s")
-    submit(a.model, a.input_dir, a.output, a.scale, a.mask_threshold, a.bilinear)
+    submit(a.model, a.input_dir, a.output, a.scale, a.mask_threshold, a.bilinear,
+           tta=a.tta)
 
 
 if __name__ == "__main__":
