@@ -326,3 +326,26 @@ def test_2d_dp_spatial_step_matches_single_device():
         n_off = int((diff > 1e-3).sum())
         assert n_off <= max(3, 0.01 * diff.size), f"{n_off}/{diff.size} elements off"
         assert diff.max() < 0.1
+
+
+def test_sharded_eval_tta_matches_host_loop():
+    """--tta composed with sharded evaluation: the 4-view batched forward
+    is a plain jit program, so GSPMD shards it like any eval step; values
+    must equal the unsharded TTA host loop."""
+    from tpu_unet.parallel.mesh import image_sharding
+
+    config = UNetConfig(3, 1, bilinear=True, base_channels=8)
+    params, state = init_unet(jax.random.PRNGKey(0), config)
+    rng = np.random.default_rng(1)
+    imgs, masks = synth_batch(rng, 8, 32, 32)
+    batches = [{"image": imgs, "mask": masks}]
+
+    from tpu_unet.evaluate import evaluate
+
+    ref = evaluate(params, state, batches, config, tta=True)
+    mesh = make_mesh()
+    p_r = jax.device_put(params, replicated(mesh))
+    s_r = jax.device_put(state, replicated(mesh))
+    got = evaluate(p_r, s_r, batches, config,
+                   sharding=image_sharding(mesh), tta=True)
+    np.testing.assert_allclose(got, ref, rtol=1e-5)

@@ -244,3 +244,20 @@ def test_save_best_and_history_out(carvana, tmp_path, monkeypatch):
     assert len(hist["train_loss"]) == 8
     _, extra = read_checkpoint_meta(best)
     assert extra["val_dice"] == max(hist["val_dice"])
+
+
+def test_val_per_epoch_cadence(carvana, tmp_path):
+    """--val-per-epoch controls the division step: 4 validations with
+    val_per_epoch=4 over 8 train images at batch 2 (division_step=1 per
+    2-image step → 4 per epoch), vs the reference's 5 (division_step=0 →
+    none at this tiny size)."""
+    config = UNetConfig(3, 1, bilinear=True, base_channels=8)
+    params, state = init_unet(jax.random.PRNGKey(0), config)
+    ds = CarvanaDataset(carvana / "imgs", carvana / "masks", scale=1.0,
+                        num_workers=0)
+    _, _, hist = train_model(
+        params, state, config, dataset=ds, epochs=1, batch_size=2,
+        learning_rate=1e-3, val_percent=0.2, val_per_epoch=4,
+        save_checkpoint_flag=False, checkpoint_dir=tmp_path, seed=0,
+    )
+    assert len(hist["val_dice"]) == 4

@@ -267,6 +267,7 @@ def train_model(
     ema_decay: float | None = None,
     augment=None,
     vmem_limit_kib: int | None = None,
+    val_per_epoch: int = 5,
 ):
     """The reference's train_model, TPU-native. Returns (params, bn_state, history)."""
     if accum_steps > 1 and batch_size % accum_steps:
@@ -551,7 +552,8 @@ def train_model(
             except Exception as e:  # unreadable file: treat as absent
                 logger.warning("Could not read %s (%s); starting best "
                                "tracking fresh", best_path, e)
-    division_step = n_train // (5 * batch_size)
+    # Reference cadence: val_per_epoch=5 → division_step = n_train//(5·B).
+    division_step = n_train // (max(1, val_per_epoch) * batch_size)
     checkpointer = AsyncCheckpointer()
 
     # Preemption-safe training: production pods stop with SIGTERM + a grace
@@ -935,6 +937,11 @@ def get_args(argv=None):
     parser.add_argument("--checkpoint-dir", type=str, default=str(dir_checkpoint))
     parser.add_argument("--data-dir", type=str, default="./data")
     parser.add_argument("--wandb", action="store_true", default=False, help="Enable W&B logging (offline by default)")
+    parser.add_argument("--val-per-epoch", type=int, default=5, metavar="N",
+                        help="Validation cadence: N times per epoch "
+                             "(reference hardcodes 5). Plateau scheduling, "
+                             "W&B panels, --save-best, and the multihost "
+                             "stop broadcast all ride these steps")
     parser.add_argument("--vmem-limit-mb", type=int, default=None, metavar="MB",
                         help="Raise the TPU compiler's scoped-VMEM budget for "
                              "the train step (per-jit compiler option). "
@@ -1073,6 +1080,7 @@ def main(argv=None):
             tensor_parallel=args.tensor_parallel,
             accum_steps=args.accum_steps,
             ema_decay=args.ema_decay,
+            val_per_epoch=args.val_per_epoch,
             vmem_limit_kib=(args.vmem_limit_mb * 1024
                             if (args.vmem_limit_mb
                                 and jax.default_backend() != "cpu") else None),
