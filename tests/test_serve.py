@@ -602,3 +602,32 @@ def test_tta_mode_exclusive():
     with pytest.raises(ValueError):
         BatchedPredictor(params, state, config, [0, 255],
                          tta=True, tile=32)
+
+
+def test_tiled_tta_serving_matches_predict(rng):
+    """--tile --tta serving: a large request tiles the four flip views as
+    batch rows and equals predict --tile --tta; small requests fall back to
+    the full-image TTA forward."""
+    from tpu_unet.parallel.tiling import predict_img_tiled
+    from tpu_unet.predict import predict_img
+
+    config = UNetConfig(3, 2, bilinear=True, base_channels=4)
+    params, state = init_unet(jax.random.PRNGKey(1), config)
+    p = BatchedPredictor(
+        params, state, config, [0, 128, 255],
+        scale=1.0, amp=False, max_batch=2, batch_window_ms=5.0,
+        tile=128, halo=128, tta=True,
+    )
+    try:
+        big = _img(rng, 384, 384)
+        small = _img(rng, 48, 64)
+        np.testing.assert_array_equal(
+            p.predict_one(big, timeout=600),
+            predict_img_tiled(params, state, config, big, tile=128, halo=128,
+                              scale_factor=1.0, tta=True))
+        np.testing.assert_array_equal(
+            p.predict_one(small, timeout=600),
+            predict_img(params, state, config, small, scale_factor=1.0,
+                        tta=True))
+    finally:
+        p.stop()

@@ -145,3 +145,42 @@ def test_halo_sharded_equals_full(net):
     # layers with random-init weights. Semantically the stitch is exact
     # (halo 128 > measured RF 110).
     np.testing.assert_allclose(np.asarray(out), np.asarray(full), atol=5e-4, rtol=1e-4)
+
+
+def test_predict_img_tiled_tta_matches_full_tta(net):
+    """--tile composed with --tta: the 4 flip views ride as batch rows of
+    ONE tiled sweep; tiling is exact, so the result matches the full-image
+    TTA prediction."""
+    from PIL import Image
+
+    from tpu_unet.parallel.tiling import predict_img_tiled
+    from tpu_unet.predict import predict_img
+
+    params, state = net
+    rng = np.random.default_rng(6)
+    img = Image.fromarray(
+        rng.integers(0, 255, (384, 384, 3), dtype=np.uint8).astype(np.uint8))
+    tiled = predict_img_tiled(
+        params, state, CONFIG, img, tile=128, halo=HALO, scale_factor=1.0,
+        tta=True,
+    )
+    full = predict_img(params, state, CONFIG, img, scale_factor=1.0, tta=True)
+    assert tiled.shape == (384, 384)
+    assert (tiled != full).mean() < 1e-3
+
+
+def test_predict_img_halo_sharded_tta(net):
+    """--tile-sharded composed with --tta on the 8-band virtual mesh."""
+    from PIL import Image
+
+    from tpu_unet.predict import predict_img, predict_img_halo_sharded
+
+    params, state = net
+    rng = np.random.default_rng(7)
+    big = Image.fromarray(
+        rng.integers(0, 255, (2048, 256, 3), dtype=np.uint8).astype(np.uint8))
+    m_sharded = predict_img_halo_sharded(
+        params, state, CONFIG, big, scale_factor=1.0, tta=True)
+    m_full = predict_img(params, state, CONFIG, big, scale_factor=1.0, tta=True)
+    assert m_sharded.shape == (2048, 256)
+    assert (m_sharded != m_full).mean() < 1e-3

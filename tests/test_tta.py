@@ -91,7 +91,7 @@ def test_predict_img_tta_and_cli(small_model, tmp_path):
     cli_mask = np.asarray(Image.open(out_path))
     np.testing.assert_array_equal(cli_mask.astype(bool), mask)
 
-    # --tta composes with the default forward only.
+    # --tta composes with every forward except the folded-kernel path.
     with pytest.raises(SystemExit):
         predict_main(["-m", str(ckpt), "-i", str(img_path), "--tta",
-                      "--tile", "16", "-n"])
+                      "--kernels", "xla", "-n"])

@@ -27,7 +27,8 @@ from tpu_unet.models.unet import UNetConfig, unet_apply
 TTA_FLIPS = ((False, False), (False, True), (True, False), (True, True))
 
 
-def _flip(x, flip_h: bool, flip_w: bool):
+def flip(x, flip_h: bool, flip_w: bool):
+    """Flip a [N,H,W,C] batch on H and/or W (its own inverse)."""
     if flip_h:
         x = x[:, ::-1]
     if flip_w:
@@ -37,7 +38,7 @@ def _flip(x, flip_h: bool, flip_w: bool):
 
 def tta_views(x):
     """[N,H,W,C] → [4N,H,W,C]: the four flip views, batch-concatenated."""
-    return jnp.concatenate([_flip(x, fh, fw) for fh, fw in TTA_FLIPS], axis=0)
+    return jnp.concatenate([flip(x, fh, fw) for fh, fw in TTA_FLIPS], axis=0)
 
 
 def tta_merge(view_logits, n: int):
@@ -46,7 +47,7 @@ def tta_merge(view_logits, n: int):
     The flips are involutions, so inverse = the same flip.
     """
     parts = [
-        _flip(view_logits[i * n:(i + 1) * n], fh, fw)
+        flip(view_logits[i * n:(i + 1) * n], fh, fw)
         for i, (fh, fw) in enumerate(TTA_FLIPS)
     ]
     total = parts[0]

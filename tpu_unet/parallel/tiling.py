@@ -254,14 +254,24 @@ def predict_img_tiled(
     params, state, config: UNetConfig, full_img, *,
     tile: int = 512, halo: int = DEFAULT_HALO,
     scale_factor: float = 0.5, out_threshold: float = 0.5, amp: bool = False,
+    tta: bool = False,
 ):
     """Tiled analog of predict_img: preprocess → tiled forward → upscale
-    logits to original size → threshold/argmax (reference order preserved)."""
+    logits to original size → threshold/argmax (reference order preserved).
+
+    ``tta`` composes for free: the four flip views are batch rows of the
+    SAME tiled sweep (the tiler is batch-agnostic), merged afterwards —
+    so large-image inference and flip ensembling don't exclude each other.
+    """
     from tpu_unet.data.loading import BasicDataset
     from tpu_unet.ops import resize_bilinear
 
     img = BasicDataset.preprocess(None, full_img, scale_factor, is_mask=False)
     x = jnp.asarray(img)[None]
+    if tta:
+        from tpu_unet.models.tta import tta_merge, tta_views
+
+        x = tta_views(x)
     h, w = x.shape[1], x.shape[2]
     ph, pw = padded_hw(h, w)
     if tile + 2 * halo > min(ph, pw):
@@ -279,6 +289,8 @@ def predict_img_tiled(
     else:
         logits = tiled_forward_padded(params, state, x, config=config,
                                       tile=tile, halo=halo, amp=amp)
+    if tta:
+        logits = tta_merge(logits, 1)
     full_w, full_h = full_img.size
     logits = resize_bilinear(logits, full_h, full_w, align_corners=False)
     if config.n_classes > 1:

@@ -148,11 +148,13 @@ def predict_img_halo_sharded(
     scale_factor: float = 0.5,
     out_threshold: float = 0.5,
     amp: bool = False,
+    tta: bool = False,
 ) -> np.ndarray:
     """predict_img with the image sharded in horizontal bands across ALL
     devices, halos exchanged over ICI (parallel/tiling.py). Falls back to the
     single-device forward when constraints don't hold (one device, unaligned
-    size, or bands too short for the halo)."""
+    size, or bands too short for the halo). ``tta`` rides as batch rows of
+    the same sharded program (flip views don't change H/W alignment)."""
     from tpu_unet.parallel.mesh import make_mesh
     from tpu_unet.parallel.tiling import DEFAULT_HALO, make_halo_sharded_forward
 
@@ -167,13 +169,20 @@ def predict_img_halo_sharded(
             "halo-sharded constraints not met (devices=%d, H=%d, W=%d) — "
             "falling back to single-device forward", d, h, w,
         )
-        logits = _forward_full(
+        fallback = _forward_full_tta if tta else _forward_full
+        logits = fallback(
             params, state, x, config=config, full_h=full_h, full_w=full_w, amp=amp
         )
     else:
         mesh = make_mesh(axis="spatial")
         fwd = make_halo_sharded_forward(mesh, config, halo=DEFAULT_HALO, amp=amp)
-        logits = resize_bilinear(fwd(params, state, x), full_h, full_w, align_corners=False)
+        if tta:
+            from tpu_unet.models.tta import tta_merge, tta_views
+
+            logits = tta_merge(fwd(params, state, tta_views(x)), 1)
+        else:
+            logits = fwd(params, state, x)
+        logits = resize_bilinear(logits, full_h, full_w, align_corners=False)
     if config.n_classes > 1:
         return np.asarray(jnp.argmax(logits, axis=-1)[0])
     return np.asarray(jax.nn.sigmoid(logits[0, ..., 0]) > out_threshold)
@@ -246,11 +255,11 @@ def main(argv=None):
     logging.basicConfig(level=logging.INFO, format="%(levelname)s: %(message)s")
     in_files = args.input
     out_files = get_output_filenames(args)
-    if args.tta and (args.tile or args.tile_sharded or args.kernels):
-        # The tiled/fused paths have their own forwards; keep --tta explicit
-        # rather than silently ignored there.
-        raise SystemExit("--tta composes with the default forward only "
-                         "(not --tile/--tile-sharded/--kernels)")
+    if args.tta and args.kernels:
+        # The folded-kernel path has its own forward; keep --tta explicit
+        # rather than silently ignored there. (--tile/--tile-sharded DO
+        # compose: the flip views ride as batch rows of the same sweep.)
+        raise SystemExit("--tta does not compose with --kernels")
 
     config = UNetConfig(
         n_channels=3, n_classes=args.classes, bilinear=args.bilinear, arch=args.arch
@@ -284,7 +293,8 @@ def main(argv=None):
         if args.tile_sharded:
             mask = predict_img_halo_sharded(
                 params, state, config, img,
-                scale_factor=args.scale, out_threshold=args.mask_threshold, amp=args.amp,
+                scale_factor=args.scale, out_threshold=args.mask_threshold,
+                amp=args.amp, tta=args.tta,
             )
         elif args.tile:
             from tpu_unet.parallel.tiling import predict_img_tiled
@@ -292,7 +302,7 @@ def main(argv=None):
             mask = predict_img_tiled(
                 params, state, config, img,
                 tile=args.tile, scale_factor=args.scale,
-                out_threshold=args.mask_threshold, amp=args.amp,
+                out_threshold=args.mask_threshold, amp=args.amp, tta=args.tta,
             )
         elif args.kernels:
             mask = predict_img_fused(

@@ -155,10 +155,10 @@ class BatchedPredictor:
         if tile and (fwd is not None or kernels):
             raise ValueError("--tile serving requires the default XLA "
                              "checkpoint path (not artifact/pallas mode)")
-        if tta and (fwd is not None or kernels or tile):
-            raise ValueError("--tta serving composes with the default XLA "
-                             "checkpoint forward only (not artifact/pallas/"
-                             "tile mode)")
+        if tta and (fwd is not None or kernels):
+            raise ValueError("--tta serving composes with the XLA checkpoint "
+                             "forwards (default or --tile), not "
+                             "artifact/pallas mode")
         if fwd is not None:
             pass  # exported-artifact forward, used as-is
         elif kernels:
@@ -209,6 +209,16 @@ class BatchedPredictor:
             from tpu_unet.parallel.tiling import tiled_forward_padded
 
             def fwd_tiled(x):
+                if tta:
+                    # Flip views ride as batch rows of the same sweep
+                    # (exactly the predict --tile --tta composition).
+                    from tpu_unet.models.tta import tta_merge, tta_views
+
+                    return tta_merge(
+                        tiled_forward_padded(
+                            params, state, tta_views(x), config=config,
+                            tile=tile, halo=halo, amp=amp),
+                        x.shape[0])
                 return tiled_forward_padded(
                     params, state, x, config=config, tile=tile, halo=halo,
                     amp=amp,
