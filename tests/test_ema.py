@@ -102,3 +102,26 @@ def test_ema_decay_validated():
     with pytest.raises(ValueError, match="ema-decay"):
         train_model(params, state, config, dataset=[], epochs=1,
                     batch_size=1, ema_decay=1.5)
+
+
+def test_ema_horizon_warning(carvana, tmp_path, caplog):
+    """A decay whose horizon exceeds the run (d^T > 0.1 of the init
+    surviving) warns; a matched decay does not (BENCH_NOTES r3 foot-gun)."""
+    import logging
+
+    config = UNetConfig(3, 1, bilinear=True, base_channels=8)
+    ds = CarvanaDataset(carvana / "imgs", carvana / "masks", scale=1.0,
+                        num_workers=0)
+
+    def run(decay):
+        params, state = init_unet(jax.random.PRNGKey(0), config)
+        with caplog.at_level(logging.WARNING, logger="tpu_unet.train"):
+            caplog.clear()
+            train_model(params, state, config, dataset=ds, epochs=1,
+                        batch_size=2, learning_rate=1e-3, val_percent=0.2,
+                        save_checkpoint_flag=False,
+                        checkpoint_dir=tmp_path, seed=0, ema_decay=decay)
+        return [r for r in caplog.records if "INITIAL weights" in r.message]
+
+    assert run(0.9999)   # 4 steps, 0.9999^4 ≈ 1.0 → warns
+    assert not run(0.5)  # 0.5^4 ≈ 0.06 < 0.1 → silent

@@ -515,6 +515,21 @@ def train_model(
             d = jnp.float32(ema_decay)
             return jax.tree.map(lambda a, b: a * d + b * (1.0 - d), e, p)
 
+        # Horizon guardrail (measured foot-gun, BENCH_NOTES r3): the shadow
+        # tree starts at the INITIAL params, and d^T of that mass survives a
+        # T-step run — 0.999 over 480 steps leaves 62% random init in the
+        # average and a near-zero EMA Dice. Warn when >10% would remain.
+        total_steps = (epochs - start_epoch + 1) * max(1, len(train_loader))
+        init_mass = ema_decay ** total_steps
+        if init_mass > 0.1:
+            logger.warning(
+                "--ema-decay %g keeps %.0f%% of the INITIAL weights after "
+                "this run's ~%d steps — the EMA checkpoint will trail far "
+                "behind training. Use a decay with horizon 1/(1-d) well "
+                "below the step count (e.g. %.3g).",
+                ema_decay, 100 * init_mass, total_steps,
+                max(0.5, 1.0 - 10.0 / total_steps),
+            )
         ema_params = jax.tree.map(jnp.copy, params)
         if resume:
             # Continue the average across restarts when the sibling
