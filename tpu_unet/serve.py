@@ -548,7 +548,7 @@ def build_predictor(model_path: str, args) -> BatchedPredictor:
     if str(model_path).endswith(".jaxexp"):
         from tpu_unet.export import load_artifact_meta, load_exported
 
-        if args.tile or args.kernels or args.tta:
+        if args.tile or args.kernels or getattr(args, "tta", False):
             # Reject rather than silently serve the full-image path: the
             # artifact IS the compiled program — there is no tiler, kernel
             # backend, or TTA ensemble to select at the serving site.
@@ -612,7 +612,8 @@ def build_predictor(model_path: str, args) -> BatchedPredictor:
         scale=args.scale, threshold=args.mask_threshold, amp=args.amp,
         max_batch=args.max_batch, batch_window_ms=args.batch_window_ms,
         kernels=args.kernels, timeout_s=args.timeout_s,
-        tile=args.tile, halo=args.halo, tta=args.tta,
+        tile=args.tile, halo=args.halo,
+        tta=getattr(args, "tta", False),
     )
     if args.warmup:
         h_r, w_r = (int(v) for v in args.warmup.lower().split("x"))
