@@ -52,7 +52,8 @@ HELDOUT_SEED = 4242  # never used by any training/val dataset generation
 
 
 def run(preset: str = "full", data_dir: str | None = None,
-        device_data: bool | None = None, ema_decay: float | None = None) -> dict:
+        device_data: bool | None = None, ema_decay: float | None = None,
+        augment: bool = False) -> dict:
     from tpu_unet.data import HELDOUT_GEN, CarvanaDataset, make_synthetic_carvana
     from tpu_unet.evaluate import evaluate
     from tpu_unet.models import UNetConfig, init_unet
@@ -91,6 +92,12 @@ def run(preset: str = "full", data_dir: str | None = None,
         checkpoint_dir=ck,
         amp=jax.default_backend() != "cpu", seed=0, device_dataset=device_data,
         ema_decay=ema_decay,
+        # hflip + photometric jitter (data/augment.py): the precondition for
+        # flip-TTA to help (BENCH_NOTES r3) and a generalization lever of
+        # its own. Report-only — gates stay calibrated on the plain recipe.
+        augment=__import__("tpu_unet.data.augment",
+                           fromlist=["AugmentConfig"]).AugmentConfig(
+            hflip=True, brightness=0.1, contrast=0.1) if augment else None,
     )
     wall = time.time() - t0
 
@@ -135,6 +142,7 @@ def run(preset: str = "full", data_dir: str | None = None,
         passed = passed and bool(held_dice >= heldout_floor)
     result = {
         "preset": preset,
+        "augment": augment,
         "final_val_dice": round(float(dice), 4),
         "final_val_iou": round(float(iou), 4),
         "heldout_dice": round(float(held_dice), 4),
@@ -162,8 +170,11 @@ def main():
     ap.add_argument("--ema-decay", type=float, default=None,
                     help="Also train/evaluate EMA shadow weights; reported "
                          "as ema_* fields (gates stay on the raw weights)")
+    ap.add_argument("--augment", action="store_true", default=False,
+                    help="Train with device-side hflip + photometric jitter "
+                         "(the flip-TTA precondition; report-only)")
     args = ap.parse_args()
-    result = run(args.preset, ema_decay=args.ema_decay)
+    result = run(args.preset, ema_decay=args.ema_decay, augment=args.augment)
     print(json.dumps(result))
     if args.out:
         Path(args.out).write_text(json.dumps(result, indent=2))
