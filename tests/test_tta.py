@@ -95,3 +95,15 @@ def test_predict_img_tta_and_cli(small_model, tmp_path):
     with pytest.raises(SystemExit):
         predict_main(["-m", str(ckpt), "-i", str(img_path), "--tta",
                       "--kernels", "xla", "-n"])
+
+
+@pytest.mark.parametrize("arch", ["unetpp", "attention"])
+def test_tta_covers_all_model_families(arch, rng):
+    """tta_logits rides unet_apply's arch dispatch, so UNet++ and Attention
+    U-Net ensemble identically to the manual four-forward formulation."""
+    config = UNetConfig(3, 1, bilinear=True, base_channels=8, arch=arch)
+    params, state = init_unet(jax.random.PRNGKey(3), config)
+    x = jnp.asarray(rng.random((1, 32, 48, 3), dtype=np.float32))
+    got = np.asarray(tta_logits(params, state, x, config=config))
+    want = _manual_tta(params, state, x, config)
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-4)
