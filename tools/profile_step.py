@@ -26,7 +26,8 @@ import sys
 os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
 
 
-def run_trace(trace_dir: str, batch: int, steps: int, size: int) -> None:
+def run_trace(trace_dir: str, batch: int, steps: int, size: int,
+              vmem_limit_kib: int | None = None) -> None:
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -39,7 +40,7 @@ def run_trace(trace_dir: str, batch: int, steps: int, size: int) -> None:
     config = UNetConfig(3, 1, bilinear=False)
     params, state = init_unet(jax.random.PRNGKey(0), config)
     opt = rmsprop_init(params)
-    step = make_train_step(config, amp=True)
+    step = make_train_step(config, amp=True, vmem_limit_kib=vmem_limit_kib)
     rng = np.random.default_rng(0)
     images = jnp.asarray(rng.random((batch, size, size, 3), dtype=np.float32))
     masks = jnp.asarray(rng.integers(0, 2, (batch, size, size)))
@@ -113,6 +114,8 @@ def parse_trace(trace_dir: str, top: int = 25) -> None:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--trace-dir", default="/tmp/trace_step")
+    ap.add_argument("--vmem-limit-mb", type=int, default=64,
+                    help="Scoped-VMEM budget, matching the tuned headline (0 = default budget)")
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--steps", type=int, default=2)
     ap.add_argument("--size", type=int, default=572)
@@ -122,7 +125,9 @@ def main():
     if args.parse:
         parse_trace(args.parse, args.top)
         return
-    run_trace(args.trace_dir, args.batch, args.steps, args.size)
+    run_trace(args.trace_dir, args.batch, args.steps, args.size,
+              vmem_limit_kib=args.vmem_limit_mb * 1024
+              if args.vmem_limit_mb else None)
     parse_trace(args.trace_dir, args.top)
 
 
