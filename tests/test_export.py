@@ -56,3 +56,35 @@ def test_export_cli_check(tmp_path):
         "--batch", "2", "--no-amp", "--platforms", "cpu", "--check",
     ])
     assert out.stat().st_size > 0
+
+
+def test_export_tta_artifact(tmp_path):
+    """--tta export bakes the flip ensemble into the program: the artifact's
+    output equals the manual four-view ensemble of the folded forward, with
+    a symbolic batch, and the sidecar records the mode."""
+    from tpu_unet.export import (
+        export_infer, load_artifact_meta, load_exported, save_exported,
+    )
+    from tpu_unet.models.infer import fold_bn, unet_infer_apply
+    from tpu_unet.models.tta import tta_merge, tta_views
+
+    config = UNetConfig(3, 1, bilinear=True, base_channels=4)
+    params, state = init_unet(jax.random.PRNGKey(0), config)
+    exported = export_infer(params, state, config, height=32, width=48,
+                            amp=False, platforms=("cpu",), tta=True)
+    path = tmp_path / "m_tta.jaxexp"
+    save_exported(exported, path, meta={"mask_values": [0, 255],
+                                        "config": config._asdict(),
+                                        "tta": True})
+    assert load_artifact_meta(path)["tta"] is True
+
+    reloaded = load_exported(path)
+    rng = np.random.default_rng(0)
+    for batch in (1, 3):  # symbolic batch: two different sizes, one program
+        x = jnp.asarray(rng.random((batch, 32, 48, 3), dtype=np.float32))
+        got = np.asarray(reloaded.call(x))
+        folded = fold_bn(params, state, config)
+        want = np.asarray(tta_merge(
+            unet_infer_apply(folded, tta_views(x), config=config,
+                             backend="xla"), batch))
+        np.testing.assert_allclose(got, want, atol=1e-5)

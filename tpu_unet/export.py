@@ -55,6 +55,7 @@ def export_infer(
     batch: int | None = None,
     amp: bool = True,
     platforms=DEFAULT_PLATFORMS,
+    tta: bool = False,
 ):
     """Export the BN-folded eval forward as a jax.export.Exported.
 
@@ -63,14 +64,28 @@ def export_infer(
     caller invokes ``exported.call(x)`` with just the image batch
     [N, height, width, n_channels] float32 and gets fp32 logits
     [N, height, width, n_classes].
+
+    ``tta`` bakes the flip ensemble INTO the program (the four views as
+    batch rows of one forward, merged logits out) — the right place for it
+    in the artifact story: serving-site TTA flags can't apply to a
+    pre-compiled program, so the ensemble ships inside it, and the
+    artifact's call contract is unchanged.
     """
     folded = fold_bn(params, state, config)
     compute_dtype = jnp.bfloat16 if amp else None
 
     def fn(x):
-        return unet_infer_apply(
-            folded, x, config=config, backend="xla", compute_dtype=compute_dtype
-        )
+        def forward(v):
+            return unet_infer_apply(
+                folded, v, config=config, backend="xla",
+                compute_dtype=compute_dtype,
+            )
+
+        if not tta:
+            return forward(x)
+        from tpu_unet.models.tta import tta_merge, tta_views
+
+        return tta_merge(forward(tta_views(x)), x.shape[0])
 
     if batch is None:
         (b,) = jax.export.symbolic_shape("b")
@@ -138,6 +153,9 @@ def get_args(argv=None):
                    help="Compute in fp32 instead of bf16")
     p.add_argument("--platforms", type=str, default=",".join(DEFAULT_PLATFORMS),
                    help="Comma-separated lowering platforms")
+    p.add_argument("--tta", action="store_true", default=False,
+                   help="Bake the four-flip-view ensemble into the artifact "
+                        "(serve --tta can't apply to a pre-compiled program)")
     p.add_argument("--check", action="store_true", default=False,
                    help="Round-trip the artifact and verify vs the live model")
     p.add_argument("--classes", "-c", type=int, default=1)
@@ -174,9 +192,11 @@ def main(argv=None):
         params, state, config,
         height=args.height, width=args.width, batch=args.batch, amp=args.amp,
         platforms=[s.strip() for s in args.platforms.split(",") if s.strip()],
+        tta=args.tta,
     )
     save_exported(exported, args.output,
-                  meta={"mask_values": mask_values, "config": config._asdict()})
+                  meta={"mask_values": mask_values, "config": config._asdict(),
+                        "tta": args.tta})
     size_mb = Path(args.output).stat().st_size / 1e6
     logger.info(
         "Exported %s -> %s (%.1f MB, platforms=%s, batch=%s, %dx%d)",
@@ -192,10 +212,19 @@ def main(argv=None):
         )
         got = np.asarray(reloaded.call(x))
         folded = fold_bn(params, state, config)
-        want = np.asarray(unet_infer_apply(
-            folded, x, config=config, backend="xla",
-            compute_dtype=jnp.bfloat16 if args.amp else None,
-        ))
+
+        def live(v):
+            return unet_infer_apply(
+                folded, v, config=config, backend="xla",
+                compute_dtype=jnp.bfloat16 if args.amp else None,
+            )
+
+        if args.tta:
+            from tpu_unet.models.tta import tta_merge, tta_views
+
+            want = np.asarray(tta_merge(live(tta_views(x)), x.shape[0]))
+        else:
+            want = np.asarray(live(x))
         np.testing.assert_allclose(got, want, atol=1e-5)
         logger.info("Round-trip check OK (max |Δ| = %.2e)", np.abs(got - want).max())
 

@@ -200,6 +200,7 @@ class BatchedPredictor:
         self._group_pool = ThreadPoolExecutor(max_workers=4,
                                               thread_name_prefix="serve-group")
         self.tile, self.halo = tile, halo
+        self.tta = tta
         if tile:
             # Large-image path: exact tiled sweep (one dispatch, peak HBM
             # O(window) not O(image) — parallel/tiling.py). Used per request
@@ -427,7 +428,8 @@ def make_handler(predictor, default: str | None = None,
                         "default": default,
                         "models": {
                             n: {"n_classes": m.config.n_classes,
-                                "arch": m.config.arch, "scale": m.scale}
+                                "arch": m.config.arch, "scale": m.scale,
+                                "tta": m.tta}
                             for n, m in models.items()
                         },
                     }
@@ -438,6 +440,7 @@ def make_handler(predictor, default: str | None = None,
                         "n_classes": m.config.n_classes,
                         "arch": m.config.arch,
                         "scale": m.scale,
+                        "tta": m.tta,
                     }
             elif self.path == "/metrics":
                 if multi:
