@@ -597,11 +597,13 @@ def test_tta_serving_matches_predict_tta(rng):
 
 
 def test_tta_mode_exclusive():
+    """--tta composes with the default and --tile forwards; only the
+    folded-kernel (and artifact) paths decline it."""
     config = UNetConfig(3, 1, bilinear=True, base_channels=8)
     params, state = init_unet(jax.random.PRNGKey(0), config)
     with pytest.raises(ValueError):
         BatchedPredictor(params, state, config, [0, 255],
-                         tta=True, tile=32)
+                         tta=True, kernels="xla")
 
 
 def test_tiled_tta_serving_matches_predict(rng):
