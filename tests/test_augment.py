@@ -58,7 +58,7 @@ def test_train_model_augment_smoke(tmp_path, rng):
     from tpu_unet.data import make_synthetic_carvana
     from tpu_unet.data.loading import CarvanaDataset
     from tpu_unet.models import UNetConfig, init_unet
-    from tpu_unet.train import _default_augment, train_model
+    from tpu_unet.train import _build_augment, train_model
 
     make_synthetic_carvana(tmp_path / "d", n=4, h=48, w=64)
     ds = CarvanaDataset(tmp_path / "d" / "imgs", tmp_path / "d" / "masks", 1.0)
@@ -67,6 +67,47 @@ def test_train_model_augment_smoke(tmp_path, rng):
     params, state, history = train_model(
         params, state, config, dataset=ds, epochs=1, batch_size=2,
         learning_rate=1e-3, val_percent=0.25, save_checkpoint_flag=False,
-        checkpoint_dir=tmp_path / "ck", augment=_default_augment(),
+        checkpoint_dir=tmp_path / "ck", augment=_build_augment(True, 0.0),
     )
     assert np.isfinite(history["train_loss"]).all()
+
+
+def test_elastic_deformation():
+    """Elastic warp: shapes preserved, masks stay exact class indices (no
+    interpolation), images stay within the input's value range (bilinear
+    convexity), a constant image is a fixed point, alpha=0 is identity, and
+    draws are deterministic per key."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_unet.data.augment import AugmentConfig, augment_batch
+
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.random((2, 40, 56, 3), dtype=np.float32))
+    masks = jnp.asarray(rng.integers(0, 3, (2, 40, 56)))
+    cfg = AugmentConfig(hflip=False, elastic_alpha=8.0, elastic_grid=16)
+    key = jax.random.PRNGKey(7)
+
+    ai, am = augment_batch(key, images, masks, config=cfg)
+    assert ai.shape == images.shape and am.shape == masks.shape
+    assert set(np.unique(np.asarray(am))) <= set(np.unique(np.asarray(masks)))
+    assert float(ai.min()) >= float(images.min()) - 1e-6
+    assert float(ai.max()) <= float(images.max()) + 1e-6
+    # The warp actually moved something.
+    assert not np.allclose(np.asarray(ai), np.asarray(images))
+
+    # Determinism per key.
+    ai2, am2 = augment_batch(key, images, masks, config=cfg)
+    np.testing.assert_array_equal(np.asarray(ai), np.asarray(ai2))
+    np.testing.assert_array_equal(np.asarray(am), np.asarray(am2))
+
+    # Constant image is a fixed point of any warp.
+    const = jnp.full_like(images, 0.25)
+    ci, _ = augment_batch(key, const, masks, config=cfg)
+    np.testing.assert_allclose(np.asarray(ci), 0.25, atol=1e-6)
+
+    # alpha=0 is identity.
+    zi, zm = augment_batch(key, images, masks,
+                           config=AugmentConfig(hflip=False, elastic_alpha=0.0))
+    np.testing.assert_array_equal(np.asarray(zi), np.asarray(images))
+    np.testing.assert_array_equal(np.asarray(zm), np.asarray(masks))

@@ -30,6 +30,53 @@ class AugmentConfig:
     rot180: bool = False        # random 180° rotation, p=0.5 per sample
     brightness: float = 0.0     # additive jitter amplitude in [0,1] units
     contrast: float = 0.0       # multiplicative jitter amplitude
+    # Elastic deformation — THE original U-Net augmentation (Ronneberger et
+    # al. §3.1: "random elastic deformations ... the key concept to train
+    # with very few annotated images"). alpha = displacement magnitude in
+    # pixels; grid = coarse control-grid spacing in pixels (the smoothness
+    # scale: larger grid = smoother warps). 0 disables.
+    elastic_alpha: float = 0.0
+    elastic_grid: int = 64
+
+
+def _elastic_warp(key, images, masks, alpha: float, grid: int):
+    """Per-sample smooth random warp, shape-preserving and fully gathered.
+
+    TPU-native formulation: instead of the paper's dense-noise + Gaussian
+    blur, sample a COARSE control grid of displacements and bilinearly
+    upsample it to full resolution (same smooth field, no convolution), then
+    warp with one 4-corner gather per pixel. Images sample bilinearly;
+    masks sample nearest (class indices must never be interpolated).
+    """
+    n, h, w, _ = images.shape
+    gh = max(2, h // grid + 1)
+    gw = max(2, w // grid + 1)
+    field = jax.random.uniform(key, (n, gh, gw, 2), minval=-1.0, maxval=1.0)
+    field = jax.image.resize(field, (n, h, w, 2), method="bilinear") * alpha
+
+    yy = jnp.arange(h, dtype=jnp.float32)[:, None]
+    xx = jnp.arange(w, dtype=jnp.float32)[None, :]
+    sy = jnp.clip(yy + field[..., 0], 0.0, h - 1.0)  # [n,h,w] source coords
+    sx = jnp.clip(xx + field[..., 1], 0.0, w - 1.0)
+    y0f = jnp.floor(sy)
+    x0f = jnp.floor(sx)
+    wy = (sy - y0f)[..., None]
+    wx = (sx - x0f)[..., None]
+    y0 = y0f.astype(jnp.int32)
+    x0 = x0f.astype(jnp.int32)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+
+    def warp_img(img, y0, y1, x0, x1, wy, wx):
+        top = (1 - wx) * img[y0, x0] + wx * img[y0, x1]
+        bot = (1 - wx) * img[y1, x0] + wx * img[y1, x1]
+        return (1 - wy) * top + wy * bot
+
+    images = jax.vmap(warp_img)(images, y0, y1, x0, x1, wy, wx)
+    yn = jnp.round(sy).astype(jnp.int32)
+    xn = jnp.round(sx).astype(jnp.int32)
+    masks = jax.vmap(lambda m, ys, xs: m[ys, xs])(masks, yn, xn)
+    return images, masks
 
 
 @functools.partial(jax.jit, static_argnames=("config",))
@@ -42,7 +89,12 @@ def augment_batch(
 ):
     """Apply the configured augmentations; returns (images, masks)."""
     n = images.shape[0]
-    k_h, k_v, k_r, k_b, k_c = jax.random.split(key, 5)
+    k_h, k_v, k_r, k_b, k_c, k_e = jax.random.split(key, 6)
+
+    if config.elastic_alpha > 0:
+        images, masks = _elastic_warp(
+            k_e, images, masks, config.elastic_alpha, config.elastic_grid
+        )
 
     def flip(imgs, msks, do, axis):
         fi = jnp.flip(imgs, axis=axis)

@@ -969,6 +969,13 @@ def get_args(argv=None):
     parser.add_argument("--augment", action="store_true", default=False,
                         help="Device-side augmentation: random h-flip + "
                              "brightness/contrast jitter (beyond-reference)")
+    parser.add_argument("--augment-elastic", type=float, default=0.0,
+                        metavar="ALPHA",
+                        help="Also apply random elastic deformation with "
+                             "this displacement magnitude in pixels (the "
+                             "original U-Net paper's key augmentation; "
+                             "smooth per-sample warp, masks nearest-"
+                             "sampled). Implies augmentation on")
     parser.add_argument("--device-dataset", action="store_true", default=False,
                         help="Stage the whole (preprocessed) corpus to HBM "
                              "as uint8 and gather batches on device — "
@@ -1008,10 +1015,15 @@ def get_args(argv=None):
     return parser.parse_args(argv)
 
 
-def _default_augment():
+def _build_augment(flips_jitter: bool, elastic_alpha: float):
     from tpu_unet.data.augment import AugmentConfig
 
-    return AugmentConfig(hflip=True, brightness=0.1, contrast=0.1)
+    return AugmentConfig(
+        hflip=flips_jitter,
+        brightness=0.1 if flips_jitter else 0.0,
+        contrast=0.1 if flips_jitter else 0.0,
+        elastic_alpha=elastic_alpha,
+    )
 
 
 def main(argv=None):
@@ -1101,7 +1113,8 @@ def main(argv=None):
                                 and jax.default_backend() != "cpu") else None),
             keep_checkpoints=args.keep_checkpoints,
             save_best=args.save_best,
-            augment=_default_augment() if args.augment else None,
+            augment=(_build_augment(args.augment, args.augment_elastic)
+                     if (args.augment or args.augment_elastic) else None),
         )
 
     profiling = False
