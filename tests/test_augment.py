@@ -111,3 +111,35 @@ def test_elastic_deformation():
                            config=AugmentConfig(hflip=False, elastic_alpha=0.0))
     np.testing.assert_array_equal(np.asarray(zi), np.asarray(images))
     np.testing.assert_array_equal(np.asarray(zm), np.asarray(masks))
+
+
+def test_affine_warp_properties():
+    """Rotation/scale/shift jitter: shapes/range/mask-exactness hold, a
+    constant image is a fixed point, and zero jitter is the identity."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_unet.data.augment import AugmentConfig, augment_batch
+
+    rng = np.random.default_rng(1)
+    images = jnp.asarray(rng.random((2, 36, 48, 3), dtype=np.float32))
+    masks = jnp.asarray(rng.integers(0, 2, (2, 36, 48)))
+    cfg = AugmentConfig(hflip=False, rot_deg=15.0, scale_jitter=0.1,
+                        shift_px=4.0)
+    key = jax.random.PRNGKey(11)
+
+    ai, am = augment_batch(key, images, masks, config=cfg)
+    assert ai.shape == images.shape and am.shape == masks.shape
+    assert set(np.unique(np.asarray(am))) <= set(np.unique(np.asarray(masks)))
+    assert float(ai.min()) >= float(images.min()) - 1e-6
+    assert float(ai.max()) <= float(images.max()) + 1e-6
+    assert not np.allclose(np.asarray(ai), np.asarray(images))
+
+    const = jnp.full_like(images, 0.5)
+    ci, _ = augment_batch(key, const, masks, config=cfg)
+    np.testing.assert_allclose(np.asarray(ci), 0.5, atol=1e-6)
+
+    zi, zm = augment_batch(key, images, masks,
+                           config=AugmentConfig(hflip=False))
+    np.testing.assert_array_equal(np.asarray(zi), np.asarray(images))
+    np.testing.assert_array_equal(np.asarray(zm), np.asarray(masks))

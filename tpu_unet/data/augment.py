@@ -37,27 +37,62 @@ class AugmentConfig:
     # scale: larger grid = smoother warps). 0 disables.
     elastic_alpha: float = 0.0
     elastic_grid: int = 64
+    # Random affine jitter (the paper's "shift and rotation invariance"),
+    # composed with the elastic field into the SAME single gather pass:
+    # rotation ~ U(±rot_deg) degrees about the center, isotropic scale
+    # ~ U(1±scale_jitter), translation ~ U(±shift_px) pixels per axis.
+    rot_deg: float = 0.0
+    scale_jitter: float = 0.0
+    shift_px: float = 0.0
 
 
-def _elastic_warp(key, images, masks, alpha: float, grid: int):
+def _warp(key, images, masks, config: "AugmentConfig"):
     """Per-sample smooth random warp, shape-preserving and fully gathered.
 
-    TPU-native formulation: instead of the paper's dense-noise + Gaussian
-    blur, sample a COARSE control grid of displacements and bilinearly
-    upsample it to full resolution (same smooth field, no convolution), then
-    warp with one 4-corner gather per pixel. Images sample bilinearly;
-    masks sample nearest (class indices must never be interpolated).
+    One pass covers the paper's whole geometric menu: an inverse-affine
+    term (rotation/scale/shift about the image center) plus the elastic
+    field. TPU-native formulation: instead of the paper's dense-noise +
+    Gaussian blur, sample a COARSE control grid of displacements and
+    bilinearly upsample it to full resolution (same smooth field, no
+    convolution), then warp with one 4-corner gather per pixel. Images
+    sample bilinearly; masks sample nearest (class indices must never be
+    interpolated).
     """
     n, h, w, _ = images.shape
-    gh = max(2, h // grid + 1)
-    gw = max(2, w // grid + 1)
-    field = jax.random.uniform(key, (n, gh, gw, 2), minval=-1.0, maxval=1.0)
-    field = jax.image.resize(field, (n, h, w, 2), method="bilinear") * alpha
+    k_field, k_rot, k_scale, k_shift = jax.random.split(key, 4)
 
-    yy = jnp.arange(h, dtype=jnp.float32)[:, None]
-    xx = jnp.arange(w, dtype=jnp.float32)[None, :]
-    sy = jnp.clip(yy + field[..., 0], 0.0, h - 1.0)  # [n,h,w] source coords
-    sx = jnp.clip(xx + field[..., 1], 0.0, w - 1.0)
+    yy = jnp.arange(h, dtype=jnp.float32)[None, :, None]  # [1,h,1]
+    xx = jnp.arange(w, dtype=jnp.float32)[None, None, :]  # [1,1,w]
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+
+    # Inverse affine: source = c + R(-θ)·(dst − c − t)/s, per sample.
+    theta = jnp.deg2rad(jax.random.uniform(
+        k_rot, (n, 1, 1), minval=-config.rot_deg, maxval=config.rot_deg))
+    scale = 1.0 + jax.random.uniform(
+        k_scale, (n, 1, 1), minval=-config.scale_jitter,
+        maxval=config.scale_jitter)
+    shift = jax.random.uniform(
+        k_shift, (n, 2, 1, 1), minval=-config.shift_px,
+        maxval=config.shift_px)
+    dy = (yy - cy - shift[:, 0]) / scale
+    dx = (xx - cx - shift[:, 1]) / scale
+    cos, sin = jnp.cos(theta), jnp.sin(theta)
+    sy = cy + cos * dy - sin * dx  # R(−θ): [cos −sin; sin cos]·(dy,dx)ᵀ… y-x order
+    sx = cx + sin * dy + cos * dx
+
+    if config.elastic_alpha > 0:
+        grid = config.elastic_grid
+        gh = max(2, h // grid + 1)
+        gw = max(2, w // grid + 1)
+        field = jax.random.uniform(k_field, (n, gh, gw, 2),
+                                   minval=-1.0, maxval=1.0)
+        field = jax.image.resize(field, (n, h, w, 2),
+                                 method="bilinear") * config.elastic_alpha
+        sy = sy + field[..., 0]
+        sx = sx + field[..., 1]
+
+    sy = jnp.clip(sy, 0.0, h - 1.0)  # [n,h,w] source coords
+    sx = jnp.clip(sx, 0.0, w - 1.0)
     y0f = jnp.floor(sy)
     x0f = jnp.floor(sx)
     wy = (sy - y0f)[..., None]
@@ -91,10 +126,9 @@ def augment_batch(
     n = images.shape[0]
     k_h, k_v, k_r, k_b, k_c, k_e = jax.random.split(key, 6)
 
-    if config.elastic_alpha > 0:
-        images, masks = _elastic_warp(
-            k_e, images, masks, config.elastic_alpha, config.elastic_grid
-        )
+    if (config.elastic_alpha > 0 or config.rot_deg > 0
+            or config.scale_jitter > 0 or config.shift_px > 0):
+        images, masks = _warp(k_e, images, masks, config)
 
     def flip(imgs, msks, do, axis):
         fi = jnp.flip(imgs, axis=axis)

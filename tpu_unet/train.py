@@ -976,6 +976,13 @@ def get_args(argv=None):
                              "original U-Net paper's key augmentation; "
                              "smooth per-sample warp, masks nearest-"
                              "sampled). Implies augmentation on")
+    parser.add_argument("--augment-rot", type=float, default=0.0, metavar="DEG",
+                        help="Random rotation up to ±DEG degrees (same "
+                             "single warp pass; implies augmentation on)")
+    parser.add_argument("--augment-scale", type=float, default=0.0, metavar="J",
+                        help="Random isotropic scale in [1-J, 1+J]")
+    parser.add_argument("--augment-shift", type=float, default=0.0, metavar="PX",
+                        help="Random translation up to ±PX pixels per axis")
     parser.add_argument("--device-dataset", action="store_true", default=False,
                         help="Stage the whole (preprocessed) corpus to HBM "
                              "as uint8 and gather batches on device — "
@@ -1015,7 +1022,9 @@ def get_args(argv=None):
     return parser.parse_args(argv)
 
 
-def _build_augment(flips_jitter: bool, elastic_alpha: float):
+def _build_augment(flips_jitter: bool, elastic_alpha: float,
+                   rot_deg: float = 0.0, scale_jitter: float = 0.0,
+                   shift_px: float = 0.0):
     from tpu_unet.data.augment import AugmentConfig
 
     return AugmentConfig(
@@ -1023,6 +1032,9 @@ def _build_augment(flips_jitter: bool, elastic_alpha: float):
         brightness=0.1 if flips_jitter else 0.0,
         contrast=0.1 if flips_jitter else 0.0,
         elastic_alpha=elastic_alpha,
+        rot_deg=rot_deg,
+        scale_jitter=scale_jitter,
+        shift_px=shift_px,
     )
 
 
@@ -1113,8 +1125,12 @@ def main(argv=None):
                                 and jax.default_backend() != "cpu") else None),
             keep_checkpoints=args.keep_checkpoints,
             save_best=args.save_best,
-            augment=(_build_augment(args.augment, args.augment_elastic)
-                     if (args.augment or args.augment_elastic) else None),
+            augment=(_build_augment(args.augment, args.augment_elastic,
+                                    args.augment_rot, args.augment_scale,
+                                    args.augment_shift)
+                     if (args.augment or args.augment_elastic
+                         or args.augment_rot or args.augment_scale
+                         or args.augment_shift) else None),
         )
 
     profiling = False
