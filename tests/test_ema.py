@@ -125,3 +125,22 @@ def test_ema_horizon_warning(carvana, tmp_path, caplog):
 
     assert run(0.9999)   # 4 steps, 0.9999^4 ≈ 1.0 → warns
     assert not run(0.5)  # 0.5^4 ≈ 0.06 < 0.1 → silent
+
+
+def test_ema_resume_of_completed_run_is_noop(carvana, tmp_path):
+    """Resuming a finished run with --ema-decay must be a graceful no-op
+    (the horizon warning's suggested-decay expression divides by the step
+    count, which is zero here — code-review r3 finding)."""
+    config = UNetConfig(3, 1, bilinear=True, base_channels=8)
+    params, state = init_unet(jax.random.PRNGKey(0), config)
+    ds = CarvanaDataset(carvana / "imgs", carvana / "masks", scale=1.0,
+                        num_workers=0)
+    train_model(params, state, config, dataset=ds, epochs=1, batch_size=2,
+                learning_rate=1e-3, val_percent=0.2, save_optimizer=True,
+                checkpoint_dir=tmp_path, seed=0, ema_decay=0.99)
+    p2, s2 = init_unet(jax.random.PRNGKey(0), config)
+    # epochs == resumed epoch -> zero steps to run.
+    train_model(p2, s2, config, dataset=ds, epochs=1, batch_size=2,
+                learning_rate=1e-3, val_percent=0.2,
+                resume=str(tmp_path / "checkpoint_epoch1.npz"),
+                checkpoint_dir=tmp_path, seed=0, ema_decay=0.99)

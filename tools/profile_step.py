@@ -125,9 +125,14 @@ def main():
     if args.parse:
         parse_trace(args.parse, args.top)
         return
+    import jax
+
+    # The scoped-VMEM option is TPU-only (the CPU backend rejects it);
+    # gate like bench.py/train.py so the tool still runs anywhere.
+    on_tpu = jax.default_backend() != "cpu"
     run_trace(args.trace_dir, args.batch, args.steps, args.size,
               vmem_limit_kib=args.vmem_limit_mb * 1024
-              if args.vmem_limit_mb else None)
+              if (args.vmem_limit_mb and on_tpu) else None)
     parse_trace(args.trace_dir, args.top)
 
 

@@ -247,16 +247,25 @@ def main(argv=None):
         sharding = image_sharding(mesh)
         params = jax.device_put(params, replicated(mesh))
         state = jax.device_put(state, replicated(mesh))
-    dice, iou = evaluate(params, state, loader, config, amp=args.amp,
-                         sharding=sharding, tta=args.tta)
-    print(f"Dice: {dice:.6f}  IoU: {iou:.6f}  (n={len(ds)})")
     if args.per_class:
+        # ONE inference sweep: the scalar metrics are exactly the
+        # background-excluded means of the per-class vectors
+        # (test_per_class_mean_reproduces_scalar), so don't run the split
+        # twice through the relay.
         dice_c, iou_c = evaluate_per_class(
             params, state, loader, config, amp=args.amp,
             sharding=sharding, tta=args.tta)
+        fg = slice(1, None) if config.n_classes > 1 else slice(None)
+        dice = float(dice_c[fg].mean()) if len(dice_c) else 0.0
+        iou = float(iou_c[fg].mean()) if len(iou_c) else 0.0
+        print(f"Dice: {dice:.6f}  IoU: {iou:.6f}  (n={len(ds)})")
         for c in range(config.n_classes):
             tag = " (background)" if config.n_classes > 1 and c == 0 else ""
             print(f"  class {c}: Dice {dice_c[c]:.6f}  IoU {iou_c[c]:.6f}{tag}")
+    else:
+        dice, iou = evaluate(params, state, loader, config, amp=args.amp,
+                             sharding=sharding, tta=args.tta)
+        print(f"Dice: {dice:.6f}  IoU: {iou:.6f}  (n={len(ds)})")
     return dice
 
 

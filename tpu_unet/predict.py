@@ -40,27 +40,26 @@ from tpu_unet.ops import resize_bilinear
 logger = logging.getLogger(__name__)
 
 
-@functools.partial(jax.jit, static_argnames=("config", "full_h", "full_w", "amp"))
-def _forward_full(params, state, x, *, config: UNetConfig, full_h: int, full_w: int, amp: bool = False):
-    logits, _ = unet_apply(
-        params, state, x, config=config, train=False,
-        compute_dtype=jnp.bfloat16 if amp else None,
-    )
+@functools.partial(jax.jit,
+                   static_argnames=("config", "full_h", "full_w", "amp", "tta"))
+def _forward_full(params, state, x, *, config: UNetConfig, full_h: int,
+                  full_w: int, amp: bool = False, tta: bool = False):
+    """Eval forward; ``tta`` flip-ensembles the four views as ONE batched
+    program (models/tta.py). Merged or plain, the logits then follow the
+    exact reference order (upscale → threshold), so --tta composes with
+    everything downstream."""
+    compute_dtype = jnp.bfloat16 if amp else None
+    if tta:
+        from tpu_unet.models.tta import tta_logits
+
+        logits = tta_logits(params, state, x, config=config,
+                            compute_dtype=compute_dtype)
+    else:
+        logits, _ = unet_apply(
+            params, state, x, config=config, train=False,
+            compute_dtype=compute_dtype,
+        )
     # Upscale LOGITS to the original size first (reference order, §3.2).
-    return resize_bilinear(logits, full_h, full_w, align_corners=False)
-
-
-@functools.partial(jax.jit, static_argnames=("config", "full_h", "full_w", "amp"))
-def _forward_full_tta(params, state, x, *, config: UNetConfig, full_h: int, full_w: int, amp: bool = False):
-    """Flip-ensembled forward (models/tta.py): four views, ONE batched
-    program; merged logits then follow the exact reference order
-    (upscale → threshold), so --tta composes with everything downstream."""
-    from tpu_unet.models.tta import tta_logits
-
-    logits = tta_logits(
-        params, state, x, config=config,
-        compute_dtype=jnp.bfloat16 if amp else None,
-    )
     return resize_bilinear(logits, full_h, full_w, align_corners=False)
 
 
@@ -85,9 +84,9 @@ def predict_img(
     img = BasicDataset.preprocess(None, full_img, scale_factor, is_mask=False)
     x = jnp.asarray(img)[None]  # [1,H,W,C]
     full_w, full_h = full_img.size
-    fwd = _forward_full_tta if tta else _forward_full
-    logits = fwd(
-        params, state, x, config=config, full_h=full_h, full_w=full_w, amp=amp
+    logits = _forward_full(
+        params, state, x, config=config, full_h=full_h, full_w=full_w,
+        amp=amp, tta=tta,
     )
     if config.n_classes > 1:
         if use_crf:
@@ -169,9 +168,9 @@ def predict_img_halo_sharded(
             "halo-sharded constraints not met (devices=%d, H=%d, W=%d) — "
             "falling back to single-device forward", d, h, w,
         )
-        fallback = _forward_full_tta if tta else _forward_full
-        logits = fallback(
-            params, state, x, config=config, full_h=full_h, full_w=full_w, amp=amp
+        logits = _forward_full(
+            params, state, x, config=config, full_h=full_h, full_w=full_w,
+            amp=amp, tta=tta,
         )
     else:
         mesh = make_mesh(axis="spatial")

@@ -589,6 +589,10 @@ def build_predictor(model_path: str, args) -> BatchedPredictor:
             timeout_s=args.timeout_s, fixed_batch=pinned,
             fwd=exported.call, static_hw=(int(h_a), int(w_a)),
         )
+        # A --tta export bakes the ensemble INTO the program; reflect that
+        # in /healthz reporting (the constructor forbids runtime tta with an
+        # artifact fwd precisely because the artifact already decided).
+        predictor.tta = bool(art_meta.get("tta", False))
         # The artifact's input shape is static and known — always pre-compile
         # so the first real request never pays the cold start.
         predictor.warmup(int(h_a), int(w_a))

@@ -520,8 +520,8 @@ def train_model(
         # T-step run — 0.999 over 480 steps leaves 62% random init in the
         # average and a near-zero EMA Dice. Warn when >10% would remain.
         total_steps = (epochs - start_epoch + 1) * max(1, len(train_loader))
-        init_mass = ema_decay ** total_steps
-        if init_mass > 0.1:
+        init_mass = ema_decay ** max(0, total_steps)
+        if total_steps > 0 and init_mass > 0.1:
             logger.warning(
                 "--ema-decay %g keeps %.0f%% of the INITIAL weights after "
                 "this run's ~%d steps — the EMA checkpoint will trail far "
