@@ -151,3 +151,27 @@ def test_evaluate_cli_per_class_and_tta(tmp_path, capsys):
                    "-s", "1.0", "-b", "4", "--per-class", "--tta"])
     out = capsys.readouterr().out
     assert "class 0:" in out and "Dice:" in out
+
+
+def test_evaluate_cli_per_class_data_parallel(tmp_path, capsys):
+    """--per-class composed with --data-parallel: the single-sweep scalar
+    derivation matches the plain CLI run."""
+    from tpu_unet.checkpoint import save_checkpoint
+    from tpu_unet.data import make_synthetic_carvana
+    from tpu_unet.evaluate import main as evaluate_main
+    from tpu_unet.models import init_unet
+
+    make_synthetic_carvana(tmp_path / "d", n=8, h=32, w=48)
+    config = UNetConfig(3, 1, bilinear=True, base_channels=8)
+    params, state = init_unet(jax.random.PRNGKey(0), config)
+    ckpt = tmp_path / "m.npz"
+    save_checkpoint(ckpt, params, state, mask_values=[0, 255],
+                    extra={"config": config._asdict()})
+    common = ["-m", str(ckpt), "--data-dir", str(tmp_path / "d"),
+              "-s", "1.0", "-b", "8"]
+    solo = evaluate_main(common)
+    capsys.readouterr()
+    dp_pc = evaluate_main(common + ["--data-parallel", "--per-class"])
+    out = capsys.readouterr().out
+    assert "class 0:" in out
+    np.testing.assert_allclose(dp_pc, solo, rtol=1e-5)
