@@ -41,17 +41,28 @@ def rle_decode(rle: str, shape: tuple[int, int]) -> np.ndarray:
 
 
 def submit(model_path, in_dir, out_csv, scale=0.5, threshold=0.5, bilinear=False,
-           tta=False):
+           tta=False, batch_size=8):
     """Predict every image in ``in_dir`` and write an RLE submission CSV.
 
     ``tta`` flip-ensembles each prediction (models/tta.py) — the classic
     leaderboard lever for a Carvana submission.
+
+    Production scale: the Carvana test set is ~100k images, so per-image
+    b1 dispatches (~100 ms each through a relay) would take hours. Images
+    are BATCHED by (original, preprocessed) shape — on Carvana every image
+    shares one shape, so the whole run is one compiled b=batch_size forward
+    — and trailing partial groups are zero-padded to the batch size so no
+    second program ever compiles. Each batched row is bit-identical to the
+    single-image predict_img path (same forward, same upscale→threshold
+    order; asserted in tests).
     """
     import jax
+    import jax.numpy as jnp
 
     from tpu_unet.checkpoint import import_pth, load_checkpoint
+    from tpu_unet.data.loading import BasicDataset
+    from tpu_unet.predict import _forward_full
     from tpu_unet.models import UNetConfig, init_unet
-    from tpu_unet.predict import predict_img
 
     config = UNetConfig(3, 1, bilinear=bilinear)
     if str(model_path).endswith(".pth"):
@@ -66,20 +77,46 @@ def submit(model_path, in_dir, out_csv, scale=0.5, threshold=0.5, bilinear=False
             config = UNetConfig(**extra["config"])
         params, state = init_unet(jax.random.PRNGKey(0), config)
         params, state, _, _ = load_checkpoint(model_path, params, state)
+    if config.n_classes != 1:
+        raise ValueError("Carvana RLE submissions are binary; checkpoint has "
+                         f"{config.n_classes} classes")
 
     files = sorted(
         f for f in os.listdir(in_dir) if not f.startswith(".")
     )
+    rows: dict[str, str] = {}
+    groups: dict[tuple, list] = {}  # (full_w, full_h) -> [(name, pre_img)]
+
+    def flush(size, items):
+        full_w, full_h = size
+        n = len(items)
+        x = np.stack([im for _, im in items])
+        if n < batch_size:  # pad: one program per shape group, ever
+            x = np.concatenate(
+                [x, np.zeros((batch_size - n,) + x.shape[1:], x.dtype)])
+        logits = _forward_full(
+            params, state, jnp.asarray(x), config=config,
+            full_h=full_h, full_w=full_w, tta=tta,
+        )
+        masks = np.asarray(jax.nn.sigmoid(logits[..., 0]) > threshold)
+        for (name, _), mask in zip(items, masks):
+            rows[name] = rle_encode(mask)
+            logger.info("encoded %s", name)
+
+    for name in files:
+        img = Image.open(Path(in_dir) / name)
+        pre = BasicDataset.preprocess(None, img, scale, is_mask=False)
+        key = img.size
+        groups.setdefault(key, []).append((name, pre))
+        if len(groups[key]) == batch_size:
+            flush(key, groups.pop(key))
+    for key, items in groups.items():
+        flush(key, items)
+
     with open(out_csv, "w") as f:
         f.write("img,rle_mask\n")
         for name in files:
-            img = Image.open(Path(in_dir) / name)
-            mask = predict_img(
-                params, state, config, img,
-                scale_factor=scale, out_threshold=threshold, tta=tta,
-            )
-            f.write(f"{name},{rle_encode(mask)}\n")
-            logger.info("encoded %s", name)
+            f.write(f"{name},{rows[name]}\n")
     logger.info("Wrote %d rows to %s", len(files), out_csv)
 
 
@@ -93,10 +130,14 @@ def main(argv=None):
     p.add_argument("--bilinear", action="store_true")
     p.add_argument("--tta", action="store_true", default=False,
                    help="Flip-ensemble test-time augmentation")
+    p.add_argument("--batch-size", "-b", type=int, default=8,
+                   help="Images per batched forward (grouped by "
+                        "shape; partial groups zero-padded so one "
+                        "program compiles per shape)")
     a = p.parse_args(argv)
     logging.basicConfig(level=logging.INFO, format="%(levelname)s: %(message)s")
     submit(a.model, a.input_dir, a.output, a.scale, a.mask_threshold, a.bilinear,
-           tta=a.tta)
+           tta=a.tta, batch_size=a.batch_size)
 
 
 if __name__ == "__main__":
