@@ -53,13 +53,18 @@ HELDOUT_SEED = 4242  # never used by any training/val dataset generation
 
 def run(preset: str = "full", data_dir: str | None = None,
         device_data: bool | None = None, ema_decay: float | None = None,
-        augment: bool = False) -> dict:
+        augment: bool = False, epochs_override: int | None = None) -> dict:
     from tpu_unet.data import HELDOUT_GEN, CarvanaDataset, make_synthetic_carvana
     from tpu_unet.evaluate import evaluate
     from tpu_unet.models import UNetConfig, init_unet
     from tpu_unet.train import train_model
 
     h, w, n_imgs, bc, batch, lr, epochs, floor, heldout_floor = PRESETS[preset]
+    if epochs_override:
+        # Budget experiments (report-only): the frozen gates are calibrated
+        # on the preset budget, so overriding epochs blanks them.
+        epochs = epochs_override
+        floor, heldout_floor = 0.0, None
     tmp = Path(data_dir or tempfile.mkdtemp())
     make_synthetic_carvana(tmp / "data", n=n_imgs, h=h, w=w)
     # Held-out evaluation set: unseen seed AND unseen generator parameter
@@ -173,8 +178,12 @@ def main():
     ap.add_argument("--augment", action="store_true", default=False,
                     help="Train with device-side hflip + photometric jitter "
                          "(the flip-TTA precondition; report-only)")
+    ap.add_argument("--epochs", type=int, default=None,
+                    help="Override the preset's epoch budget (report-only: "
+                         "disables the frozen gates)")
     args = ap.parse_args()
-    result = run(args.preset, ema_decay=args.ema_decay, augment=args.augment)
+    result = run(args.preset, ema_decay=args.ema_decay, augment=args.augment,
+                 epochs_override=args.epochs)
     print(json.dumps(result))
     if args.out:
         Path(args.out).write_text(json.dumps(result, indent=2))
