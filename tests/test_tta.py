@@ -107,3 +107,20 @@ def test_tta_covers_all_model_families(arch, rng):
     got = np.asarray(tta_logits(params, state, x, config=config))
     want = _manual_tta(params, state, x, config)
     np.testing.assert_allclose(got, want, rtol=0, atol=1e-4)
+
+
+def test_tta_hflip_mode(small_model, rng):
+    """hflip mode = identity + left-right only: equals the manual 2-view
+    ensemble, and the CLI accepts --tta-mode hflip end to end."""
+    from tpu_unet.models.tta import TTA_MODES
+
+    params, state, config = small_model
+    x = jnp.asarray(rng.random((1, 32, 40, 3), dtype=np.float32))
+    got = np.asarray(tta_logits(params, state, x, config=config, mode="hflip"))
+    outs = []
+    for fh, fw in TTA_MODES["hflip"]:
+        v = x[:, :, ::-1] if fw else x
+        logits, _ = unet_apply(params, state, v, config=config, train=False)
+        outs.append(np.asarray(logits[:, :, ::-1] if fw else logits))
+    np.testing.assert_allclose(got, np.mean(np.stack(outs), axis=0),
+                               rtol=0, atol=1e-5)

@@ -124,6 +124,11 @@ def run(preset: str = "full", data_dir: str | None = None,
     # on the distribution the tuning loop never saw.
     tta_held_dice, tta_held_iou = evaluate(params, state, held_loader, config,
                                            amp=amp, tta=True)
+    # hflip-only TTA: the generator's gravity axis makes vertical flips
+    # out-of-distribution (shadow above the car), so the in-distribution
+    # half of the ensemble is measured separately (BENCH_NOTES r3).
+    h_held_dice, h_held_iou = evaluate(params, state, held_loader, config,
+                                       amp=amp, tta=True, tta_mode="hflip")
 
     ema_metrics = {}
     if ema_decay is not None:
@@ -154,6 +159,8 @@ def run(preset: str = "full", data_dir: str | None = None,
         "heldout_iou": round(float(held_iou), 4),
         "heldout_dice_tta": round(float(tta_held_dice), 4),
         "heldout_iou_tta": round(float(tta_held_iou), 4),
+        "heldout_dice_tta_hflip": round(float(h_held_dice), 4),
+        "heldout_iou_tta_hflip": round(float(h_held_iou), 4),
         "heldout_n": len(held_ds),
         "first_loss": round(hist["train_loss"][0], 3) if hist["train_loss"] else None,
         "last_loss": round(hist["train_loss"][-1], 3) if hist["train_loss"] else None,

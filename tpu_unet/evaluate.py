@@ -23,9 +23,10 @@ from tpu_unet.losses import dice_coeff, iou_coeff, multiclass_dice_coeff
 from tpu_unet.models import UNetConfig, unet_apply
 
 
-@functools.partial(jax.jit, static_argnames=("config", "amp", "tta"))
+@functools.partial(jax.jit,
+                   static_argnames=("config", "amp", "tta", "tta_mode"))
 def eval_step(params, state, images, masks, *, config: UNetConfig,
-              amp: bool = False, tta: bool = False):
+              amp: bool = False, tta: bool = False, tta_mode: str = "flips"):
     """Dice (+IoU) for one validation batch. images NHWC, masks NHW int.
 
     ``tta`` ensembles the four flip views (models/tta.py) in one batched
@@ -36,7 +37,7 @@ def eval_step(params, state, images, masks, *, config: UNetConfig,
         from tpu_unet.models.tta import tta_logits
 
         logits = tta_logits(params, state, images, config=config,
-                            compute_dtype=compute_dtype)
+                            compute_dtype=compute_dtype, mode=tta_mode)
     else:
         logits, _ = unet_apply(
             params,
@@ -60,9 +61,11 @@ def eval_step(params, state, images, masks, *, config: UNetConfig,
         )
 
 
-@functools.partial(jax.jit, static_argnames=("config", "amp", "tta"))
+@functools.partial(jax.jit,
+                   static_argnames=("config", "amp", "tta", "tta_mode"))
 def eval_step_per_class(params, state, images, masks, *, config: UNetConfig,
-                        amp: bool = False, tta: bool = False):
+                        amp: bool = False, tta: bool = False,
+                        tta_mode: str = "flips"):
     """Per-class Dice and IoU vectors [n_classes] for one batch.
 
     Diagnostic companion to eval_step (beyond-reference: the reference
@@ -76,7 +79,7 @@ def eval_step_per_class(params, state, images, masks, *, config: UNetConfig,
         from tpu_unet.models.tta import tta_logits
 
         logits = tta_logits(params, state, images, config=config,
-                            compute_dtype=compute_dtype)
+                            compute_dtype=compute_dtype, mode=tta_mode)
     else:
         logits, _ = unet_apply(params, state, images, config=config,
                                train=False, compute_dtype=compute_dtype)
@@ -117,6 +120,7 @@ def evaluate(
     amp: bool = False,
     sharding=None,
     tta: bool = False,
+    tta_mode: str = "flips",
 ):
     """Mean validation Dice over the loader (reference signature analog).
 
@@ -144,7 +148,7 @@ def evaluate(
             images = jax.device_put(images, sharding)
             masks = jax.device_put(masks, sharding)
         d, i = eval_step(params, state, images, masks, config=config, amp=amp,
-                         tta=tta)
+                         tta=tta, tta_mode=tta_mode)
         pair = jnp.stack([d, i])
         total = pair if total is None else total + pair
         n += 1
@@ -162,6 +166,7 @@ def evaluate_per_class(
     amp: bool = False,
     sharding=None,
     tta: bool = False,
+    tta_mode: str = "flips",
 ):
     """Per-class mean (Dice[c], IoU[c]) over the loader — same lazy on-device
     accumulation as evaluate(): one D2H sync for the whole split."""
@@ -175,7 +180,7 @@ def evaluate_per_class(
             images = jax.device_put(images, sharding)
             masks = jax.device_put(masks, sharding)
         d, i = eval_step_per_class(params, state, images, masks, config=config,
-                                   amp=amp, tta=tta)
+                                   amp=amp, tta=tta, tta_mode=tta_mode)
         pair = jnp.stack([d, i])
         total = pair if total is None else total + pair
         n += 1
@@ -213,8 +218,11 @@ def main(argv=None):
                         "(GSPMD; batches that don't divide the mesh run "
                         "unsharded)")
     p.add_argument("--tta", action="store_true", default=False,
-                   help="Flip-ensemble test-time augmentation (4 views, "
-                        "one batched forward)")
+                   help="Flip-ensemble test-time augmentation "
+                        "(one batched forward)")
+    p.add_argument("--tta-mode", choices=["flips", "hflip"], default="flips",
+                   help="TTA view set: all four flips, or identity+left-"
+                        "right only (for scenes with a gravity axis)")
     p.add_argument("--per-class", action="store_true", default=False,
                    help="Additionally report per-class Dice/IoU (multiclass: "
                         "class 0 is background, excluded from the mean)")
@@ -254,7 +262,7 @@ def main(argv=None):
         # twice through the relay.
         dice_c, iou_c = evaluate_per_class(
             params, state, loader, config, amp=args.amp,
-            sharding=sharding, tta=args.tta)
+            sharding=sharding, tta=args.tta, tta_mode=args.tta_mode)
         fg = slice(1, None) if config.n_classes > 1 else slice(None)
         dice = float(dice_c[fg].mean()) if len(dice_c) else 0.0
         iou = float(iou_c[fg].mean()) if len(iou_c) else 0.0
@@ -264,7 +272,8 @@ def main(argv=None):
             print(f"  class {c}: Dice {dice_c[c]:.6f}  IoU {iou_c[c]:.6f}{tag}")
     else:
         dice, iou = evaluate(params, state, loader, config, amp=args.amp,
-                             sharding=sharding, tta=args.tta)
+                             sharding=sharding, tta=args.tta,
+                             tta_mode=args.tta_mode)
         print(f"Dice: {dice:.6f}  IoU: {iou:.6f}  (n={len(ds)})")
     return dice
 

@@ -56,6 +56,7 @@ def export_infer(
     amp: bool = True,
     platforms=DEFAULT_PLATFORMS,
     tta: bool = False,
+    tta_mode: str = "flips",
 ):
     """Export the BN-folded eval forward as a jax.export.Exported.
 
@@ -85,7 +86,7 @@ def export_infer(
             return forward(x)
         from tpu_unet.models.tta import tta_merge, tta_views
 
-        return tta_merge(forward(tta_views(x)), x.shape[0])
+        return tta_merge(forward(tta_views(x, tta_mode)), x.shape[0], tta_mode)
 
     if batch is None:
         (b,) = jax.export.symbolic_shape("b")
@@ -154,8 +155,11 @@ def get_args(argv=None):
     p.add_argument("--platforms", type=str, default=",".join(DEFAULT_PLATFORMS),
                    help="Comma-separated lowering platforms")
     p.add_argument("--tta", action="store_true", default=False,
-                   help="Bake the four-flip-view ensemble into the artifact "
+                   help="Bake the flip-view ensemble into the artifact "
                         "(serve --tta can't apply to a pre-compiled program)")
+    p.add_argument("--tta-mode", choices=["flips", "hflip"], default="flips",
+                   help="TTA view set to bake: all four flips, or identity+"
+                        "left-right only")
     p.add_argument("--check", action="store_true", default=False,
                    help="Round-trip the artifact and verify vs the live model")
     p.add_argument("--classes", "-c", type=int, default=1)
@@ -192,11 +196,12 @@ def main(argv=None):
         params, state, config,
         height=args.height, width=args.width, batch=args.batch, amp=args.amp,
         platforms=[s.strip() for s in args.platforms.split(",") if s.strip()],
-        tta=args.tta,
+        tta=args.tta, tta_mode=args.tta_mode,
     )
     save_exported(exported, args.output,
                   meta={"mask_values": mask_values, "config": config._asdict(),
-                        "tta": args.tta})
+                        "tta": args.tta,
+                        "tta_mode": args.tta_mode})
     size_mb = Path(args.output).stat().st_size / 1e6
     logger.info(
         "Exported %s -> %s (%.1f MB, platforms=%s, batch=%s, %dx%d)",
@@ -222,7 +227,8 @@ def main(argv=None):
         if args.tta:
             from tpu_unet.models.tta import tta_merge, tta_views
 
-            want = np.asarray(tta_merge(live(tta_views(x)), x.shape[0]))
+            want = np.asarray(tta_merge(live(tta_views(x, args.tta_mode)),
+                                        x.shape[0], args.tta_mode))
         else:
             want = np.asarray(live(x))
         np.testing.assert_allclose(got, want, atol=1e-5)

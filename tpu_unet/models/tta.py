@@ -23,8 +23,15 @@ import jax.numpy as jnp
 
 from tpu_unet.models.unet import UNetConfig, unet_apply
 
-# (flip_h, flip_w) for each view; identity first.
-TTA_FLIPS = ((False, False), (False, True), (True, False), (True, True))
+# (flip_h, flip_w) for each view; identity first. "flips" is the full flip
+# subgroup; "hflip" is identity + left-right only — the classic choice for
+# scenes with a gravity axis (cars on the ground, shadows below: vertical
+# flips are out-of-distribution there, measured in BENCH_NOTES r3).
+TTA_MODES = {
+    "flips": ((False, False), (False, True), (True, False), (True, True)),
+    "hflip": ((False, False), (False, True)),
+}
+TTA_FLIPS = TTA_MODES["flips"]
 
 
 def flip(x, flip_h: bool, flip_w: bool):
@@ -36,19 +43,21 @@ def flip(x, flip_h: bool, flip_w: bool):
     return x
 
 
-def tta_views(x):
-    """[N,H,W,C] → [4N,H,W,C]: the four flip views, batch-concatenated."""
-    return jnp.concatenate([flip(x, fh, fw) for fh, fw in TTA_FLIPS], axis=0)
+def tta_views(x, mode: str = "flips"):
+    """[N,H,W,C] → [kN,H,W,C]: the mode's flip views, batch-concatenated."""
+    return jnp.concatenate(
+        [flip(x, fh, fw) for fh, fw in TTA_MODES[mode]], axis=0)
 
 
-def tta_merge(view_logits, n: int):
-    """Invert each view's flip and average: [4N,H,W,C] logits → [N,H,W,C].
+def tta_merge(view_logits, n: int, mode: str = "flips"):
+    """Invert each view's flip and average: [kN,H,W,C] logits → [N,H,W,C].
 
     The flips are involutions, so inverse = the same flip.
     """
+    flips = TTA_MODES[mode]
     parts = [
         flip(view_logits[i * n:(i + 1) * n], fh, fw)
-        for i, (fh, fw) in enumerate(TTA_FLIPS)
+        for i, (fh, fw) in enumerate(flips)
     ]
     total = parts[0]
     for p in parts[1:]:
@@ -56,10 +65,11 @@ def tta_merge(view_logits, n: int):
     return total / len(parts)
 
 
-def tta_logits(params, state, x, *, config: UNetConfig, compute_dtype=None):
+def tta_logits(params, state, x, *, config: UNetConfig, compute_dtype=None,
+               mode: str = "flips"):
     """Flip-ensembled logits for a batch, as one traced forward."""
     logits, _ = unet_apply(
-        params, state, tta_views(x), config=config, train=False,
+        params, state, tta_views(x, mode), config=config, train=False,
         compute_dtype=compute_dtype,
     )
-    return tta_merge(logits, x.shape[0])
+    return tta_merge(logits, x.shape[0], mode)

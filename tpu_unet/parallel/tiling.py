@@ -254,7 +254,7 @@ def predict_img_tiled(
     params, state, config: UNetConfig, full_img, *,
     tile: int = 512, halo: int = DEFAULT_HALO,
     scale_factor: float = 0.5, out_threshold: float = 0.5, amp: bool = False,
-    tta: bool = False,
+    tta: bool = False, tta_mode: str = "flips",
 ):
     """Tiled analog of predict_img: preprocess → tiled forward → upscale
     logits to original size → threshold/argmax (reference order preserved).
@@ -271,7 +271,7 @@ def predict_img_tiled(
     if tta:
         from tpu_unet.models.tta import tta_merge, tta_views
 
-        x = tta_views(x)
+        x = tta_views(x, tta_mode)
     h, w = x.shape[1], x.shape[2]
     ph, pw = padded_hw(h, w)
     if tile + 2 * halo > min(ph, pw):
@@ -290,7 +290,7 @@ def predict_img_tiled(
         logits = tiled_forward_padded(params, state, x, config=config,
                                       tile=tile, halo=halo, amp=amp)
     if tta:
-        logits = tta_merge(logits, 1)
+        logits = tta_merge(logits, 1, tta_mode)
     full_w, full_h = full_img.size
     logits = resize_bilinear(logits, full_h, full_w, align_corners=False)
     if config.n_classes > 1:

@@ -41,9 +41,11 @@ logger = logging.getLogger(__name__)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("config", "full_h", "full_w", "amp", "tta"))
+                   static_argnames=("config", "full_h", "full_w", "amp",
+                                    "tta", "tta_mode"))
 def _forward_full(params, state, x, *, config: UNetConfig, full_h: int,
-                  full_w: int, amp: bool = False, tta: bool = False):
+                  full_w: int, amp: bool = False, tta: bool = False,
+                  tta_mode: str = "flips"):
     """Eval forward; ``tta`` flip-ensembles the four views as ONE batched
     program (models/tta.py). Merged or plain, the logits then follow the
     exact reference order (upscale → threshold), so --tta composes with
@@ -53,7 +55,7 @@ def _forward_full(params, state, x, *, config: UNetConfig, full_h: int,
         from tpu_unet.models.tta import tta_logits
 
         logits = tta_logits(params, state, x, config=config,
-                            compute_dtype=compute_dtype)
+                            compute_dtype=compute_dtype, mode=tta_mode)
     else:
         logits, _ = unet_apply(
             params, state, x, config=config, train=False,
@@ -73,6 +75,7 @@ def predict_img(
     amp: bool = False,
     use_crf: bool = False,
     tta: bool = False,
+    tta_mode: str = "flips",
 ) -> np.ndarray:
     """Predict a mask for one PIL image at its ORIGINAL resolution.
 
@@ -86,7 +89,7 @@ def predict_img(
     full_w, full_h = full_img.size
     logits = _forward_full(
         params, state, x, config=config, full_h=full_h, full_w=full_w,
-        amp=amp, tta=tta,
+        amp=amp, tta=tta, tta_mode=tta_mode,
     )
     if config.n_classes > 1:
         if use_crf:
@@ -148,6 +151,7 @@ def predict_img_halo_sharded(
     out_threshold: float = 0.5,
     amp: bool = False,
     tta: bool = False,
+    tta_mode: str = "flips",
 ) -> np.ndarray:
     """predict_img with the image sharded in horizontal bands across ALL
     devices, halos exchanged over ICI (parallel/tiling.py). Falls back to the
@@ -170,7 +174,7 @@ def predict_img_halo_sharded(
         )
         logits = _forward_full(
             params, state, x, config=config, full_h=full_h, full_w=full_w,
-            amp=amp, tta=tta,
+            amp=amp, tta=tta, tta_mode=tta_mode,
         )
     else:
         mesh = make_mesh(axis="spatial")
@@ -178,7 +182,8 @@ def predict_img_halo_sharded(
         if tta:
             from tpu_unet.models.tta import tta_merge, tta_views
 
-            logits = tta_merge(fwd(params, state, tta_views(x)), 1)
+            logits = tta_merge(fwd(params, state, tta_views(x, tta_mode)), 1,
+                               tta_mode)
         else:
             logits = fwd(params, state, x)
         logits = resize_bilinear(logits, full_h, full_w, align_corners=False)
@@ -233,9 +238,14 @@ def get_args(argv=None):
                         help="Mean-field CRF refinement of the probabilities "
                              "(legacy-reference utils/crf.py capability)")
     parser.add_argument("--tta", action="store_true", default=False,
-                        help="Test-time augmentation: average logits over the "
-                             "four flip views (one batched forward) before "
+                        help="Test-time augmentation: average logits over "
+                             "flip views (one batched forward) before "
                              "thresholding")
+    parser.add_argument("--tta-mode", choices=["flips", "hflip"],
+                        default="flips",
+                        help="TTA view set: all four flips, or identity+"
+                             "left-right only (scenes with a gravity axis "
+                             "— vertical flips are out-of-distribution)")
     parser.add_argument("--kernels", choices=["xla", "pallas"], default=None,
                         help="Fold BN and run the fused inference path with this backend "
                              "(default: the reference-parity train-graph forward)")
@@ -293,7 +303,7 @@ def main(argv=None):
             mask = predict_img_halo_sharded(
                 params, state, config, img,
                 scale_factor=args.scale, out_threshold=args.mask_threshold,
-                amp=args.amp, tta=args.tta,
+                amp=args.amp, tta=args.tta, tta_mode=args.tta_mode,
             )
         elif args.tile:
             from tpu_unet.parallel.tiling import predict_img_tiled
@@ -301,7 +311,8 @@ def main(argv=None):
             mask = predict_img_tiled(
                 params, state, config, img,
                 tile=args.tile, scale_factor=args.scale,
-                out_threshold=args.mask_threshold, amp=args.amp, tta=args.tta,
+                out_threshold=args.mask_threshold, amp=args.amp,
+                tta=args.tta, tta_mode=args.tta_mode,
             )
         elif args.kernels:
             mask = predict_img_fused(
@@ -313,6 +324,7 @@ def main(argv=None):
                 params, state, config, img,
                 scale_factor=args.scale, out_threshold=args.mask_threshold,
                 amp=args.amp, use_crf=args.crf, tta=args.tta,
+                tta_mode=args.tta_mode,
             )
 
         if not args.no_save:

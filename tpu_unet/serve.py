@@ -122,6 +122,7 @@ class BatchedPredictor:
         tile: int | None = None,
         halo: int = 128,
         tta: bool = False,
+        tta_mode: str = "flips",
     ):
         """``fwd``/``static_hw`` serve a pre-compiled artifact (export.py):
         ``fwd`` is called instead of building a model from params/state, and
@@ -181,6 +182,7 @@ class BatchedPredictor:
                 return tta_logits(
                     params, state, x, config=config,
                     compute_dtype=jnp.bfloat16 if amp else None,
+                    mode=tta_mode,
                 )
         else:
             @functools.partial(jax.jit)
@@ -217,9 +219,9 @@ class BatchedPredictor:
 
                     return tta_merge(
                         tiled_forward_padded(
-                            params, state, tta_views(x), config=config,
-                            tile=tile, halo=halo, amp=amp),
-                        x.shape[0])
+                            params, state, tta_views(x, tta_mode),
+                            config=config, tile=tile, halo=halo, amp=amp),
+                        x.shape[0], tta_mode)
                 return tiled_forward_padded(
                     params, state, x, config=config, tile=tile, halo=halo,
                     amp=amp,
@@ -621,6 +623,7 @@ def build_predictor(model_path: str, args) -> BatchedPredictor:
         kernels=args.kernels, timeout_s=args.timeout_s,
         tile=args.tile, halo=args.halo,
         tta=getattr(args, "tta", False),
+        tta_mode=getattr(args, "tta_mode", "flips"),
     )
     if args.warmup:
         h_r, w_r = (int(v) for v in args.warmup.lower().split("x"))
@@ -653,8 +656,11 @@ def main(argv=None):
     p.add_argument("--batch-window-ms", type=float, default=5.0)
     p.add_argument("--kernels", choices=["xla", "pallas"], default=None)
     p.add_argument("--tta", action="store_true", default=False,
-                   help="Flip-ensemble TTA: average logits over the four "
-                        "flip views, one batched forward per request group")
+                   help="Flip-ensemble TTA: average logits over flip views, "
+                        "one batched forward per request group")
+    p.add_argument("--tta-mode", choices=["flips", "hflip"], default="flips",
+                   help="TTA view set: all four flips, or identity+left-"
+                        "right only (scenes with a gravity axis)")
     p.add_argument("--timeout-s", type=float, default=300.0,
                    help="Per-request wait bound; must cover the first "
                         "request's jit compile on a cold chip (or use "

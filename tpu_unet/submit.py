@@ -41,7 +41,7 @@ def rle_decode(rle: str, shape: tuple[int, int]) -> np.ndarray:
 
 
 def submit(model_path, in_dir, out_csv, scale=0.5, threshold=0.5, bilinear=False,
-           tta=False, batch_size=8):
+           tta=False, batch_size=8, tta_mode="flips"):
     """Predict every image in ``in_dir`` and write an RLE submission CSV.
 
     ``tta`` flip-ensembles each prediction (models/tta.py) — the classic
@@ -96,7 +96,7 @@ def submit(model_path, in_dir, out_csv, scale=0.5, threshold=0.5, bilinear=False
                 [x, np.zeros((batch_size - n,) + x.shape[1:], x.dtype)])
         logits = _forward_full(
             params, state, jnp.asarray(x), config=config,
-            full_h=full_h, full_w=full_w, tta=tta,
+            full_h=full_h, full_w=full_w, tta=tta, tta_mode=tta_mode,
         )
         masks = np.asarray(jax.nn.sigmoid(logits[..., 0]) > threshold)
         for (name, _), mask in zip(items, masks):
@@ -130,6 +130,10 @@ def main(argv=None):
     p.add_argument("--bilinear", action="store_true")
     p.add_argument("--tta", action="store_true", default=False,
                    help="Flip-ensemble test-time augmentation")
+    p.add_argument("--tta-mode", choices=["flips", "hflip"], default="hflip",
+                   help="TTA view set (default hflip: Carvana studio shots "
+                        "have a gravity axis — vertical flips are out-of-"
+                        "distribution)")
     p.add_argument("--batch-size", "-b", type=int, default=8,
                    help="Images per batched forward (grouped by "
                         "shape; partial groups zero-padded so one "
@@ -137,7 +141,7 @@ def main(argv=None):
     a = p.parse_args(argv)
     logging.basicConfig(level=logging.INFO, format="%(levelname)s: %(message)s")
     submit(a.model, a.input_dir, a.output, a.scale, a.mask_threshold, a.bilinear,
-           tta=a.tta, batch_size=a.batch_size)
+           tta=a.tta, batch_size=a.batch_size, tta_mode=a.tta_mode)
 
 
 if __name__ == "__main__":
