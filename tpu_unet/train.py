@@ -263,6 +263,7 @@ def train_model(
     kernels: str | None = None,
     spatial_parallel: int = 1,
     tensor_parallel: int = 1,
+    pipeline_parallel: int = 1,
     accum_steps: int = 1,
     ema_decay: float | None = None,
     augment=None,
@@ -279,6 +280,31 @@ def train_model(
         # the degenerate mesh with data axis 1, reached the same way.
         raise ValueError("--tensor-parallel requires --data-parallel "
                          "(the data axis may still end up size 1)")
+    if pipeline_parallel > 1:
+        # Depth partitioning assigns whole devices to stages (GPipe,
+        # parallel/pipeline.py) — it is an ALTERNATIVE to the GSPMD mesh
+        # axes, not a fourth axis of the same mesh.
+        if data_parallel or spatial_parallel > 1 or tensor_parallel > 1:
+            raise ValueError(
+                "--pipeline-parallel does not compose with --data-parallel/"
+                "--spatial-parallel/--tensor-parallel (depth partitioning "
+                "claims whole devices; use the dp×sp×tp mesh for those "
+                "regimes)")
+        if kernels == "pallas":
+            raise ValueError("--pipeline-parallel requires the XLA backend")
+        if ema_decay is not None:
+            raise ValueError("--ema-decay is not supported with "
+                             "--pipeline-parallel (the shadow tree would "
+                             "need per-step gathers)")
+        if jax.process_count() > 1:
+            raise ValueError("--pipeline-parallel is single-host "
+                             "(stage-placed devices); use --multihost with "
+                             "the GSPMD axes instead")
+        if remat:
+            # GPipe backward already recomputes each stage from its input
+            # payload — per-stage remat is the schedule's memory model.
+            logger.info("--pipeline-parallel implies per-stage recompute; "
+                        "remat flag is redundant and ignored")
     # 1–2. Split into train / validation partitions (torch randperm parity).
     train_idx, val_idx = random_split_indices(len(dataset), val_percent, seed=seed)
     n_train, n_val = len(train_idx), len(val_idx)
@@ -463,12 +489,37 @@ def train_model(
             opt_state = shard_opt_state(mesh, opt_state, params)
         else:
             opt_state = jax.device_put(opt_state, replicated(sharding.mesh))
-    train_step = make_train_step(
-        config, amp=amp, remat=remat, weight_decay=weight_decay,
-        momentum=momentum, grad_clip=gradient_clipping,
-        kernels=kernels, mesh=step_mesh, accum_steps=accum_steps,
-        vmem_limit_kib=vmem_limit_kib,
-    )
+    pipeline = None
+    if pipeline_parallel > 1:
+        from tpu_unet.parallel.pipeline import PipelineRunner
+
+        # --accum-steps doubles as the pipeline's microbatch count (they are
+        # the same semantics: strided microbatches, averaged gradient, one
+        # update); default = one microbatch per stage so the GPipe bubble
+        # stays bounded at (S-1)/(2S-1).
+        microbatches = accum_steps if accum_steps > 1 else pipeline_parallel
+        pipeline = PipelineRunner(
+            params, bn_state, config,
+            n_stages=pipeline_parallel, microbatches=microbatches,
+            opt_state=opt_state, amp=amp, weight_decay=weight_decay,
+            momentum=momentum, grad_clip=gradient_clipping,
+        )
+        logger.info(
+            "Pipeline parallelism: %d stages %s over %d devices, "
+            "%d microbatches/step",
+            pipeline_parallel,
+            [f"{s[0]}..{s[-1]}" if len(s) > 1 else s[0]
+             for s in pipeline._stages],
+            pipeline_parallel, microbatches,
+        )
+        train_step = None
+    else:
+        train_step = make_train_step(
+            config, amp=amp, remat=remat, weight_decay=weight_decay,
+            momentum=momentum, grad_clip=gradient_clipping,
+            kernels=kernels, mesh=step_mesh, accum_steps=accum_steps,
+            vmem_limit_kib=vmem_limit_kib,
+        )
 
     # W&B histograms (5×/epoch) get their own compiled step instead of
     # making every train step carry the grad pytree as a program output all
@@ -679,10 +730,13 @@ def train_model(
 
                     akey = jax.random.fold_in(jax.random.PRNGKey(seed), global_step)
                     images, masks = augment_batch(akey, images, masks, config=augment)
-                params, bn_state, opt_state, loss, _ = train_step(
-                    params, bn_state, opt_state, images, masks,
-                    jnp.float32(scheduler.lr),
-                )
+                if pipeline is not None:
+                    loss, _ = pipeline.step(images, masks, scheduler.lr)
+                else:
+                    params, bn_state, opt_state, loss, _ = train_step(
+                        params, bn_state, opt_state, images, masks,
+                        jnp.float32(scheduler.lr),
+                    )
                 if ema_update is not None:
                     ema_params = ema_update(ema_params, params)
                 global_step += 1
@@ -707,6 +761,11 @@ def train_model(
                 # Validation 5×/epoch, reference cadence.
                 if division_step > 0 and global_step % division_step == 0:
                     drain_losses()
+                    if pipeline is not None:
+                        # Refresh the full trees from the stage devices once
+                        # per validation (cheap D2D) — evaluation, plateau,
+                        # --save-best, and W&B all read the gathered copies.
+                        params, bn_state, opt_state = pipeline.gather()
                     val_dice, val_iou = evaluate(params, bn_state, val_loader, config,
                                                  amp, sharding=sharding)
                     lr_now = scheduler.step(val_dice)
@@ -812,6 +871,10 @@ def train_model(
             if pbar:
                 pbar.close()
             drain_losses()
+            if pipeline is not None:
+                # Epoch boundary: sync the gathered trees for checkpointing
+                # (and the interrupt save below).
+                params, bn_state, opt_state = pipeline.gather()
             if interrupted:
                 ipath = _interrupt_save()
                 if ipath is not None:
@@ -865,6 +928,8 @@ def train_model(
             _signal.signal(_sig, _h)
 
 
+    if pipeline is not None:
+        params, bn_state, opt_state = pipeline.gather()
     checkpointer.wait()
     if save_checkpoint_flag and primary and keep_checkpoints and epochs >= start_epoch:
         # Final prune AFTER the writer drains: an epoch whose async write was
@@ -949,6 +1014,16 @@ def get_args(argv=None):
                              "shardings, one all-reduce per block). For "
                              "wide models whose params + fp32 optimizer "
                              "state outgrow one chip's HBM")
+    parser.add_argument("--pipeline-parallel", type=int, default=1,
+                        metavar="S",
+                        help="GPipe depth partitioning: split the U-Net's "
+                             "block chain into S stages, one whole device "
+                             "each (params + fp32 optimizer state 1/S per "
+                             "chip; backward recomputes each stage). "
+                             "--accum-steps sets the microbatch count "
+                             "(default: S). An ALTERNATIVE to the GSPMD "
+                             "mesh axes — does not compose with "
+                             "--data/--spatial/--tensor-parallel")
     parser.add_argument("--checkpoint-dir", type=str, default=str(dir_checkpoint))
     parser.add_argument("--data-dir", type=str, default="./data")
     parser.add_argument("--wandb", action="store_true", default=False, help="Enable W&B logging (offline by default)")
@@ -1117,6 +1192,7 @@ def main(argv=None):
             kernels=None if args.kernels == "xla" else args.kernels,
             spatial_parallel=args.spatial_parallel,
             tensor_parallel=args.tensor_parallel,
+            pipeline_parallel=args.pipeline_parallel,
             accum_steps=args.accum_steps,
             ema_decay=args.ema_decay,
             val_per_epoch=args.val_per_epoch,
