@@ -88,3 +88,38 @@ def test_export_tta_artifact(tmp_path):
             unet_infer_apply(folded, tta_views(x), config=config,
                              backend="xla"), batch))
         np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_export_savedmodel_roundtrip(tmp_path):
+    """TF Serving interop: export_savedmodel wraps the same StableHLO
+    program in a SavedModel (jax2tf native serialization). Reloading with
+    plain TensorFlow must reproduce the folded forward across two batch
+    sizes (dynamic batch), and the mask_values/config sidecar rides inside
+    the directory."""
+    tf = __import__("pytest").importorskip("tensorflow")
+    from tpu_unet.export import export_savedmodel
+
+    config = UNetConfig(3, 2, bilinear=True, base_channels=8)
+    params, state = init_unet(jax.random.PRNGKey(0), config)
+    path = tmp_path / "m.savedmodel"
+    export_savedmodel(
+        params, state, config, path=path, height=32, width=48, amp=False,
+        meta={"mask_values": [0, 128, 255], "config": config._asdict()},
+    )
+    import json
+
+    meta = json.loads((path / "tpu_unet_meta.json").read_text())
+    assert meta["mask_values"] == [0, 128, 255]
+
+    loaded = tf.saved_model.load(str(path))
+    folded = fold_bn(params, state, config)
+    rng = np.random.default_rng(0)
+    for batch in (1, 3):  # dynamic batch: one artifact, any batch size
+        x = rng.random((batch, 32, 48, 3), dtype=np.float32)
+        got = np.asarray(loaded.serve(tf.constant(x)))
+        want = np.asarray(
+            unet_infer_apply(folded, jnp.asarray(x), config=config,
+                             backend="xla")
+        )
+        assert got.shape == (batch, 32, 48, 2)
+        np.testing.assert_allclose(got, want, atol=1e-5)

@@ -23,6 +23,8 @@ Design choices:
 CLI:
   python -m tpu_unet.export -m ckpt.npz -o model.jaxexp --height 320 --width 480
   python -m tpu_unet.export -m ckpt.npz -o model.jaxexp ... --check  # round-trip
+  python -m tpu_unet.export -m ckpt.npz -o model.savedmodel --height ... # TF Serving
+  python -m tpu_unet.export -m ckpt.npz -o model.pth                # torch sites
 """
 
 from __future__ import annotations
@@ -96,6 +98,83 @@ def export_infer(
     return jax.export.export(jax.jit(fn), platforms=list(platforms))(xspec)
 
 
+def export_savedmodel(
+    params,
+    state,
+    config: UNetConfig,
+    *,
+    path: str | Path,
+    height: int,
+    width: int,
+    batch: int | None = None,
+    amp: bool = True,
+    tta: bool = False,
+    tta_mode: str = "flips",
+    platforms=DEFAULT_PLATFORMS,
+    meta: dict | None = None,
+) -> None:
+    """Export the BN-folded eval forward as a TensorFlow SavedModel.
+
+    Interop with the OTHER serving ecosystem: jax2tf (native serialization)
+    wraps the exact StableHLO program ``export_infer`` produces in a
+    ``XlaCallModule`` op inside an ordinary SavedModel, so TF Serving /
+    tf.saved_model sites run the model with zero JAX at the serving site —
+    the TF analog of the reference shipping a .pth for torch sites
+    (reference: hubconf.py distribution story, UNVERIFIED mount,
+    SURVEY.md §2 #20). Batch stays symbolic (``None`` in the signature)
+    unless pinned; weights are baked in as constants.
+
+    The ``mask_values``/config sidecar (serve.py's rendering contract) is
+    written INSIDE the SavedModel directory as ``tpu_unet_meta.json`` —
+    SavedModel loaders ignore unknown files, so the directory stays a valid
+    artifact for both consumers.
+    """
+    import tensorflow as tf  # lazy: ~20 s import, only this path needs it
+    from jax.experimental import jax2tf
+
+    folded = fold_bn(params, state, config)
+    compute_dtype = jnp.bfloat16 if amp else None
+
+    def fn(x):
+        def forward(v):
+            return unet_infer_apply(
+                folded, v, config=config, backend="xla",
+                compute_dtype=compute_dtype,
+            )
+
+        if not tta:
+            return forward(x)
+        from tpu_unet.models.tta import tta_merge, tta_views
+
+        return tta_merge(forward(tta_views(x, tta_mode)), x.shape[0], tta_mode)
+
+    poly = None if batch is not None else "(b, _, _, _)"
+    # Explicit multi-platform lowering: a bare-CLI export runs with the TPU
+    # backend, and without this the embedded StableHLO would be TPU-only —
+    # unloadable on the TF-CPU serving sites SavedModel mostly targets.
+    tf_fn = jax2tf.convert(
+        fn,
+        polymorphic_shapes=[poly] if poly else None,
+        native_serialization_platforms=list(platforms),
+    )
+    module = tf.Module()
+    sig_batch = batch  # None -> dynamic batch in the TF signature
+    module.serve = tf.function(
+        tf_fn,
+        autograph=False,
+        input_signature=[tf.TensorSpec(
+            [sig_batch, height, width, config.n_channels], tf.float32,
+            name="image",
+        )],
+    )
+    tf.saved_model.save(
+        module, str(path),
+        signatures={"serving_default": module.serve},
+    )
+    if meta is not None:
+        (Path(path) / "tpu_unet_meta.json").write_text(json.dumps(meta))
+
+
 def save_exported(exported, path: str | Path, meta: dict | None = None) -> None:
     """Write the serialized artifact, plus a ``<path>.meta.json`` sidecar.
 
@@ -143,7 +222,9 @@ def _load_model(model_path: str, args):
 def get_args(argv=None):
     p = argparse.ArgumentParser(description="Export the model as a serialized StableHLO artifact")
     p.add_argument("--model", "-m", required=True, help="Checkpoint (.npz or .pth)")
-    p.add_argument("--output", "-o", required=True, help="Output artifact path")
+    p.add_argument("--output", "-o", required=True,
+                   help="Output artifact path: .jaxexp (StableHLO), "
+                        ".savedmodel (TF Serving), or .pth (torch interop)")
     p.add_argument("--height", type=int, default=None,
                    help="Static input height (required for .jaxexp output)")
     p.add_argument("--width", type=int, default=None,
@@ -191,7 +272,62 @@ def main(argv=None):
             logger.info("Round-trip check OK (bitwise)")
         return
     if args.height is None or args.width is None:
-        raise SystemExit("--height/--width are required for .jaxexp export")
+        raise SystemExit("--height/--width are required for .jaxexp/"
+                         ".savedmodel export")
+    if str(args.output).endswith(".savedmodel"):
+        # TF Serving interop: the same StableHLO program inside a SavedModel.
+        export_savedmodel(
+            params, state, config,
+            path=args.output, height=args.height, width=args.width,
+            batch=args.batch, amp=args.amp, tta=args.tta,
+            tta_mode=args.tta_mode,
+            platforms=[s.strip() for s in args.platforms.split(",") if s.strip()],
+            meta={"mask_values": mask_values, "config": config._asdict(),
+                  "tta": args.tta, "tta_mode": args.tta_mode},
+        )
+        logger.info("Exported %s -> %s (TF SavedModel, batch=%s, %dx%d)",
+                    args.model, args.output, args.batch or "dynamic",
+                    args.height, args.width)
+        if args.check:
+            import tensorflow as tf
+
+            loaded = tf.saved_model.load(args.output)
+            rng = np.random.default_rng(0)
+            x = rng.random((args.batch or 2, args.height, args.width,
+                            config.n_channels), dtype=np.float32)
+            got = np.asarray(loaded.serve(tf.constant(x)))
+            folded = fold_bn(params, state, config)
+
+            def live(v):
+                return unet_infer_apply(
+                    folded, v, config=config, backend="xla",
+                    compute_dtype=jnp.bfloat16 if args.amp else None,
+                )
+
+            # TF executes the embedded StableHLO on its XLA *CPU* backend;
+            # a bare-CLI live forward would run on the TPU, and bf16
+            # accumulation order differs across platforms far beyond any
+            # honest logit tolerance. Compare same-platform: run the live
+            # reference on JAX's CPU backend (always registered alongside
+            # the TPU plugin).
+            with jax.default_device(jax.devices("cpu")[0]):
+                if args.tta:
+                    from tpu_unet.models.tta import tta_merge, tta_views
+
+                    want = np.asarray(tta_merge(
+                        live(tta_views(jnp.asarray(x), args.tta_mode)),
+                        x.shape[0], args.tta_mode))
+                else:
+                    want = np.asarray(live(jnp.asarray(x)))
+            # Same platform but different XLA builds (TF's vs JAX's): allow
+            # fusion-order slack, wider under bf16.
+            tol = (dict(rtol=2e-2, atol=1e-2) if args.amp
+                   else dict(rtol=1e-4, atol=1e-5))
+            np.testing.assert_allclose(got, want, **tol)
+            logger.info("Round-trip check OK (max rel Δ = %.2e)",
+                        (np.abs(got - want) /
+                         np.maximum(np.abs(want), 1e-6)).max())
+        return
     exported = export_infer(
         params, state, config,
         height=args.height, width=args.width, batch=args.batch, amp=args.amp,
