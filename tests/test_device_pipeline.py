@@ -1,10 +1,14 @@
-"""Device-side preprocessing parity (fast path; host PIL path stays the
-parity-exact default)."""
+"""Device-side preprocessing parity: BIT-EXACT vs Pillow / host preprocess.
+
+The device pipeline reproduces Pillow's fixed-point convolution resampling
+in int32 on device (reference: utils/data_loading.py preprocess ~L55,
+UNVERIFIED mount, SURVEY.md §2 #9), so --device-preprocess is bitwise-equal
+to the host PIL path, not an approximation — every comparison here is
+assert_array_equal, no tolerances.
+"""
 
 import numpy as np
 import pytest
-import torch
-import torch.nn.functional as F
 from PIL import Image
 
 import jax.numpy as jnp
@@ -12,24 +16,68 @@ import jax.numpy as jnp
 from tpu_unet.data.device_pipeline import (
     device_preprocess_images,
     device_preprocess_masks,
+    device_resample_u8,
 )
+from tpu_unet.data.loading import BasicDataset
 
 
-@pytest.mark.parametrize("out_hw", [(24, 32), (48, 64), (37, 53)])
-def test_bicubic_matches_torch(rng, out_hw):
-    """Device bicubic ≡ torch F.interpolate(bicubic, half-pixel)."""
-    img = rng.integers(0, 255, (2, 48, 64, 3)).astype(np.uint8)
-    ours = device_preprocess_images(jnp.asarray(img), out_h=out_hw[0], out_w=out_hw[1])
-    t = torch.from_numpy(img.astype(np.float32).transpose(0, 3, 1, 2)) / 255.0
-    ref = F.interpolate(t, size=out_hw, mode="bicubic", align_corners=False)
-    np.testing.assert_allclose(
-        np.asarray(ours), ref.numpy().transpose(0, 2, 3, 1), atol=2e-3, rtol=1e-3
-    )
+@pytest.mark.parametrize(
+    "in_hw,out_hw",
+    [
+        ((48, 64), (24, 32)),    # exact /2 downscale (Carvana's scale 0.5)
+        ((48, 64), (37, 53)),    # odd, non-integral ratio downscale
+        ((40, 56), (13, 47)),    # strong anisotropic downscale
+        ((24, 32), (48, 64)),    # upscale (filterscale = 1, no antialias)
+        ((48, 64), (48, 32)),    # identity H, downscale W (one-pass path)
+        ((48, 64), (24, 64)),    # downscale H, identity W
+    ],
+)
+@pytest.mark.parametrize("channels", [1, 3])
+def test_bicubic_bitexact_vs_pil(rng, in_hw, out_hw, channels):
+    """Device resample ≡ PIL Image.resize(BICUBIC), every uint8 pixel."""
+    shape = (2, *in_hw, channels)
+    img = rng.integers(0, 256, shape).astype(np.uint8)
+    ours = np.asarray(device_resample_u8(
+        jnp.asarray(img), out_h=out_hw[0], out_w=out_hw[1]))
+    for n in range(shape[0]):
+        pil_in = Image.fromarray(img[n] if channels == 3 else img[n, :, :, 0])
+        want = np.asarray(
+            pil_in.resize((out_hw[1], out_hw[0]), resample=Image.BICUBIC))
+        if channels == 1:
+            want = want[..., None]
+        np.testing.assert_array_equal(ours[n], want)
 
 
-@pytest.mark.parametrize("out_hw", [(24, 32), (17, 23)])
+def test_device_preprocess_bitexact_vs_host(rng):
+    """device_preprocess_images ≡ BasicDataset.preprocess, fp32-bitwise.
+
+    Same resampled pixels, same per-image `/255 iff max > 1` rule — the
+    end-to-end claim that makes --device-preprocess a parity path."""
+    img = rng.integers(0, 256, (2, 46, 62, 3)).astype(np.uint8)
+    got = np.asarray(device_preprocess_images(jnp.asarray(img), out_h=23, out_w=31))
+    for n in range(2):
+        want = BasicDataset.preprocess(
+            None, Image.fromarray(img[n]), 0.5, is_mask=False)
+        np.testing.assert_array_equal(got[n], want)
+
+
+def test_division_rule_per_image():
+    """An (almost-)all-dark image whose resize stays ≤ 1 is NOT divided —
+    the reference's conditional, applied per image within the batch."""
+    imgs = np.zeros((2, 8, 8, 1), np.uint8)
+    imgs[1] += 200  # second image takes the /255 branch
+    got = np.asarray(device_preprocess_images(jnp.asarray(imgs), out_h=8, out_w=8))
+    assert got[0].max() == 0.0
+    np.testing.assert_allclose(got[1], 200 / 255.0)
+    imgs2 = np.ones((1, 8, 8, 1), np.uint8)  # max == 1 → no division
+    got2 = np.asarray(device_preprocess_images(jnp.asarray(imgs2), out_h=8, out_w=8))
+    np.testing.assert_array_equal(got2, 1.0)
+
+
+@pytest.mark.parametrize("out_hw", [(24, 32), (17, 23), (123, 61)])
 def test_nearest_mask_matches_pil(rng, out_hw):
-    """Device NEAREST mask resize bitwise-matches PIL's convention."""
+    """Device NEAREST mask resize bitwise-matches PIL (accumulated-coordinate
+    convention, incl. the 640→123-style boundary-landing columns)."""
     mask = (rng.integers(0, 2, (40, 56)) * 255).astype(np.uint8)
     pil = np.asarray(
         Image.fromarray(mask).resize((out_hw[1], out_hw[0]), resample=Image.NEAREST)

@@ -1,24 +1,33 @@
-"""Device-side preprocessing: resize + normalize + mask indexing on the TPU.
+"""Device-side preprocessing: PIL-bit-exact resize + normalize on the TPU.
 
 North-star component (BASELINE.json: "the dataloader's image decode, resize,
 normalize, and mask one-hot transforms fuse into a device-side preprocessing
 pipeline feeding HBM with double-buffered prefetch"). The host only DECODES
-(PIL → uint8 numpy); everything after — bicubic image resize, /255
-normalization, nearest mask resize, palette→index mapping — is one jitted
-XLA program on device, overlapped with the train step via
+(PIL/native → uint8 numpy); everything after — antialiased bicubic image
+resize, /255 normalization, nearest mask resize, palette→index mapping — is
+one jitted XLA program on device, overlapped with the train step via
 ``prefetch_to_device``.
 
-Parity notes (tested in tests/test_device_pipeline.py):
-  * image resize: separable 4-tap Keys bicubic (a=−0.5), half-pixel centers
-    — matches torch's F.interpolate(bicubic, align_corners=False) to fp32
-    tolerance. PIL's BICUBIC additionally ANTIALIASES when downscaling, so
-    device fast-mode is NOT bitwise-identical to the reference's host
-    preprocess on downscale; the host path (data/loading.py) remains the
-    parity-exact default and this pipeline is the opt-in fast path
-    (--device-preprocess).
-  * mask resize: NEAREST with PIL's center convention
-    src = floor((i + 0.5)·in/out), bitwise-equal to PIL for these shapes;
-    palette mapping by exact value match (scalar or RGB triples).
+Parity (tested bit-exact in tests/test_device_pipeline.py):
+  * image resize reproduces Pillow's convolution resampling EXACTLY —
+    the same semantics the native host tier implements in C++
+    (tpu_unet/native/preproc.cc): per-output-pixel windows from
+    ``precompute_coeffs`` (float64, host-side, baked into the jit as
+    constants), coefficients quantized to INT32 fixed point at
+    PRECISION_BITS=22, horizontal-then-vertical passes with a clip8-
+    quantized uint8 intermediate, antialiasing via the filterscale-widened
+    support on downscale. The device passes run in int32 (fp32 cannot hold
+    the ~2^30 fixed-point products exactly; the TPU's vector unit can), so
+    ``--device-preprocess`` is BIT-IDENTICAL to the reference's host
+    preprocess (reference: utils/data_loading.py ~L55, UNVERIFIED mount,
+    SURVEY.md §2 #9) — not an approximation.
+  * mask resize: NEAREST with Pillow's ACCUMULATED source coordinate
+    (``xo += scale`` per output pixel, ImagingScaleAffine) — the
+    double-rounding drift differs from direct multiplication exactly on
+    boundary-landing columns — with Pillow's fill value 0 for the
+    (drift-only) out-of-range indices; then exact palette matching.
+  * /255 iff max > 1, per image — the reference's conditional, evaluated
+    on device.
 """
 
 from __future__ import annotations
@@ -30,58 +39,153 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+# Pillow Resample.c fixed-point precision for 8-bit channels.
+_PRECISION_BITS = 32 - 8 - 2  # 22
 
-def _cubic_grid(in_size: int, out_size: int, a: float = -0.75):
-    """Static (idx [out,4], w [out,4]) for 4-tap Keys bicubic, half-pixel.
 
-    Computed host-side in float64 (sizes are static) and baked into the jit
-    as constants — fp32 grid math inside jit rounds differently from
-    PIL/torch's double precision near integer boundaries. a=−0.75 is
-    torch's bicubic coefficient.
+def _bicubic_filter(x: np.ndarray) -> np.ndarray:
+    # Keys cubic, a = -0.5 (Pillow's BICUBIC), float64.
+    a = -0.5
+    x = np.abs(x)
+    return np.where(
+        x < 1.0,
+        ((a + 2.0) * x - (a + 3.0)) * x * x + 1.0,
+        np.where(x < 2.0, (((x - 5.0) * x + 8.0) * x - 4.0) * a, 0.0),
+    )
+
+
+def _bilinear_filter(x: np.ndarray) -> np.ndarray:
+    x = np.abs(x)
+    return np.where(x < 1.0, 1.0 - x, 0.0)
+
+
+_FILTERS = {"bicubic": (_bicubic_filter, 2.0), "bilinear": (_bilinear_filter, 1.0)}
+
+
+@functools.lru_cache(maxsize=64)
+def _pil_coeffs(in_size: int, out_size: int, filter: str = "bicubic"):
+    """Pillow's precompute_coeffs + normalize_coeffs_8bpc, host-side float64.
+
+    Returns (idx [out, ksize] int32 clipped gather indices, kk [out, ksize]
+    int32 fixed-point coefficients at 2^22). Weights outside each output
+    pixel's [xmin, xmin+xmax) window are exactly 0, so clamping their gather
+    indices into range is harmless. Mirrors tpu_unet/native/preproc.cc
+    (itself Pillow Resample.c) including the C int truncations.
+    """
+    f, support0 = _FILTERS[filter]
+    scale = in_size / out_size
+    filterscale = max(scale, 1.0)
+    support = support0 * filterscale
+    ksize = int(np.ceil(support)) * 2 + 1
+    ss = 1.0 / filterscale
+
+    idx = np.zeros((out_size, ksize), np.int64)
+    kk = np.zeros((out_size, ksize), np.float64)
+    for xx in range(out_size):
+        center = (xx + 0.5) * scale
+        xmin = int(center - support + 0.5)  # C trunc-toward-zero, then clamp
+        if xmin < 0:
+            xmin = 0
+        xmax = int(center + support + 0.5)
+        if xmax > in_size:
+            xmax = in_size
+        xmax -= xmin
+        taps = np.arange(xmax, dtype=np.float64)
+        w = f((taps + xmin - center + 0.5) * ss)
+        total = w.sum()
+        if total != 0.0:
+            w = w / total
+        kk[xx, :xmax] = w
+        idx[xx] = np.minimum(xmin + np.arange(ksize), in_size - 1)
+    # INT32 fixed point with Pillow's round-half-away (trunc of v ± 0.5).
+    # Cached as PLAIN NUMPY: returning jnp arrays from an lru_cache leaks
+    # constant tracers across jit traces (UnexpectedTracerError on the
+    # second trace at a new batch shape).
+    v = kk * (1 << _PRECISION_BITS)
+    kk_i32 = np.where(v < 0, v - 0.5, v + 0.5).astype(np.int32)
+    return idx.astype(np.int32), kk_i32
+
+
+def _clip8(acc: jax.Array) -> jax.Array:
+    # Pillow clip8: >= 1<<(22+8) → 255; <= 0 → 0; else >> 22.
+    return jnp.where(
+        acc >= (1 << (_PRECISION_BITS + 8)),
+        255,
+        jnp.where(acc <= 0, 0, jnp.right_shift(acc, _PRECISION_BITS)),
+    )
+
+
+def _resample_axis_pil(x: jax.Array, out_size: int, axis: int,
+                       filter: str = "bicubic") -> jax.Array:
+    """One Pillow resampling pass along ``axis`` (int32 in, int32 0..255 out).
+
+    Identity sizes are a copy (Pillow skips the pass entirely — no
+    quantization happens, so neither do we).
+    """
+    in_size = x.shape[axis]
+    if out_size == in_size:
+        return x
+    idx, kk = _pil_coeffs(in_size, out_size, filter)
+    ksize = idx.shape[1]
+    wshape = [1] * x.ndim
+    wshape[axis] = out_size
+    out_shape = list(x.shape)
+    out_shape[axis] = out_size
+    acc = jnp.full(out_shape, 1 << (_PRECISION_BITS - 1), jnp.int32)
+    for t in range(ksize):  # static unroll: ksize gathers + int32 FMAs
+        acc = acc + jnp.take(x, idx[:, t], axis=axis) * kk[:, t].reshape(wshape)
+    return _clip8(acc)
+
+
+def device_resample_u8(x: jax.Array, *, out_h: int, out_w: int,
+                       filter: str = "bicubic") -> jax.Array:
+    """Pillow-bit-exact resize of uint8 [N,H,W,C] → int32 0..255 [N,h,w,C].
+
+    Horizontal pass first, then vertical, clip8-quantizing between — the
+    exact pass structure of Pillow's ImagingResample (and of our native C++
+    twin, which tests/test_device_pipeline.py cross-checks all three ways).
+    """
+    x = x.astype(jnp.int32)
+    x = _resample_axis_pil(x, out_w, axis=2, filter=filter)
+    x = _resample_axis_pil(x, out_h, axis=1, filter=filter)
+    return x
+
+
+@functools.lru_cache(maxsize=64)
+def _pil_nearest_indices(in_size: int, out_size: int):
+    """Pillow NEAREST source indices via the ACCUMULATED affine coordinate.
+
+    ImagingScaleAffine walks ``xo += scale`` instead of multiplying, and the
+    float64 drift lands differently on boundary columns — bit-parity
+    requires the same walk. Returns (clamped idx [out] int32, oob [out]
+    bool); out-of-range pixels (reachable only via drift) take Pillow's
+    fill value 0.
     """
     scale = in_size / out_size
-    src = (np.arange(out_size, dtype=np.float64) + 0.5) * scale - 0.5
-    base = np.floor(src)
-    t = (src - base)[:, None]
-    offs = np.asarray([-1.0, 0.0, 1.0, 2.0])[None, :]
-    x = np.abs(t - offs)
-    w = np.where(
-        x <= 1.0,
-        (a + 2.0) * x**3 - (a + 3.0) * x**2 + 1.0,
-        np.where(x < 2.0, a * x**3 - 5.0 * a * x**2 + 8.0 * a * x - 4.0 * a, 0.0),
-    )
-    idx = np.clip(base[:, None].astype(np.int64) + np.asarray([-1, 0, 1, 2])[None, :], 0, in_size - 1)
-    return jnp.asarray(idx, jnp.int32), jnp.asarray(w, jnp.float32)
-
-
-def _resize_axis_cubic(x: jax.Array, out_size: int, axis: int) -> jax.Array:
-    in_size = x.shape[axis]
-    idx, w = _cubic_grid(in_size, out_size)
-    gathered = jnp.take(x, idx.reshape(-1), axis=axis)
-    new_shape = list(x.shape)
-    new_shape[axis : axis + 1] = [out_size, 4]
-    gathered = gathered.reshape(new_shape)
-    wshape = [1] * gathered.ndim
-    wshape[axis], wshape[axis + 1] = out_size, 4
-    return jnp.sum(gathered * w.reshape(wshape), axis=axis + 1)
-
-
-def _nearest_indices(in_size: int, out_size: int) -> jnp.ndarray:
-    # PIL NEAREST center convention: src = floor((i + 0.5) * in/out),
-    # computed host-side in float64 (see _cubic_grid note).
-    idx = np.floor(
-        (np.arange(out_size, dtype=np.float64) + 0.5) * (in_size / out_size)
-    ).astype(np.int64)
-    return jnp.asarray(np.clip(idx, 0, in_size - 1), jnp.int32)
+    xo = scale * 0.5
+    idx = np.zeros(out_size, np.int64)
+    for i in range(out_size):
+        idx[i] = -1 if xo < 0 else int(xo)
+        xo += scale
+    oob = (idx < 0) | (idx >= in_size)
+    # Plain numpy (see _pil_coeffs): jnp constants must not be lru_cached.
+    return np.clip(idx, 0, in_size - 1).astype(np.int32), oob
 
 
 @functools.partial(jax.jit, static_argnames=("out_h", "out_w"))
 def device_preprocess_images(images_u8: jax.Array, *, out_h: int, out_w: int) -> jax.Array:
-    """uint8 [N,H,W,C] → float32 [N,out_h,out_w,C] in [0,1], bicubic."""
-    x = images_u8.astype(jnp.float32)
-    x = _resize_axis_cubic(x, out_h, axis=1)
-    x = _resize_axis_cubic(x, out_w, axis=2)
-    return x / 255.0
+    """uint8 [N,H,W,C] → float32 [N,out_h,out_w,C], PIL-BICUBIC bit-exact.
+
+    Matches BasicDataset.preprocess (host) bitwise: same resampled uint8
+    pixels, then the reference's per-image ``/255 iff max > 1`` rule. The
+    division goes through a 256-entry fp32 table precomputed by numpy —
+    XLA rewrites ``x / 255.0`` into ``x * (1/255)`` which is 1 ULP off
+    numpy's correctly-rounded divide; a gather of exact constants isn't.
+    """
+    x = device_resample_u8(images_u8, out_h=out_h, out_w=out_w)  # int32 0..255
+    maxes = jnp.max(x, axis=(1, 2, 3), keepdims=True)
+    div_table = jnp.asarray(np.arange(256, dtype=np.float32) / np.float32(255.0))
+    return jnp.where(maxes > 1, jnp.take(div_table, x), x.astype(jnp.float32))
 
 
 @functools.partial(jax.jit, static_argnames=("out_h", "out_w"))
@@ -90,17 +194,21 @@ def device_preprocess_masks(
 ) -> jax.Array:
     """Raw masks [N,H,W] (or [N,H,W,3]) → int32 class indices [N,out_h,out_w].
 
-    NEAREST resize first (PIL convention), then exact palette matching
-    against ``mask_values`` ([K] scalars or [K,3] RGB rows).
+    NEAREST resize first (Pillow's accumulated-coordinate convention, fill
+    0), then exact palette matching against ``mask_values`` ([K] scalars or
+    [K,3] RGB rows).
     """
-    ry = _nearest_indices(masks_raw.shape[1], out_h)
-    rx = _nearest_indices(masks_raw.shape[2], out_w)
+    ry, oob_y = _pil_nearest_indices(masks_raw.shape[1], out_h)
+    rx, oob_x = _pil_nearest_indices(masks_raw.shape[2], out_w)
     m = jnp.take(jnp.take(masks_raw, ry, axis=1), rx, axis=2)
+    oob = oob_y[:, None] | oob_x[None, :]
     if masks_raw.ndim == 4:  # RGB triples
+        m = jnp.where(oob[None, :, :, None], 0, m)
         eq = jnp.all(
             m[..., None, :] == mask_values[None, None, None, :, :], axis=-1
         )  # [N,h,w,K]
     else:
+        m = jnp.where(oob[None, :, :], 0, m)
         eq = m[..., None] == mask_values[None, None, None, :]
     return jnp.argmax(eq, axis=-1).astype(jnp.int32)
 
