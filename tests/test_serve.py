@@ -633,3 +633,49 @@ def test_tiled_tta_serving_matches_predict(rng):
                         tta=True))
     finally:
         p.stop()
+
+
+def test_device_preprocess_serving_bitexact(rng):
+    """--device-preprocess serving (decode-only host, Pillow-bit-exact int32
+    resample on device) returns bitwise the host-preprocess path's mask —
+    at a scale that actually engages the resample."""
+    config = UNetConfig(3, 1, bilinear=True, base_channels=8)
+    params, state = init_unet(jax.random.PRNGKey(0), config)
+    imgs = [_img(rng, 94, 126), _img(rng, 94, 126)]
+    host = BatchedPredictor(params, state, config, [0, 255],
+                            scale=0.5, amp=False, max_batch=4)
+    dev = BatchedPredictor(params, state, config, [0, 255],
+                           scale=0.5, amp=False, max_batch=4,
+                           device_preprocess=True)
+    try:
+        for im in imgs:
+            np.testing.assert_array_equal(
+                dev.predict_one(im, timeout=600),
+                host.predict_one(im, timeout=600))
+    finally:
+        host.stop()
+        dev.stop()
+
+
+def test_device_preprocess_non_u8_falls_back(rng):
+    """A 16/32-bit image (PIL mode 'I') can't ride the u8 device resample —
+    it must fall back to host preprocess per request, not fail."""
+    config = UNetConfig(3, 1, bilinear=True, base_channels=8)
+    params, state = init_unet(jax.random.PRNGKey(0), config)
+    p = BatchedPredictor(params, state, config, [0, 255],
+                         scale=1.0, amp=False, device_preprocess=True)
+    try:
+        im = Image.fromarray(
+            rng.integers(0, 255, (48, 64), dtype=np.int32), mode="I")
+        pre = p._preprocess(im)
+        assert pre.dtype == np.float32  # host fallback, already normalized
+    finally:
+        p.stop()
+
+
+def test_device_preprocess_rejects_artifact_mode():
+    config = UNetConfig(3, 1, bilinear=True, base_channels=8)
+    with pytest.raises(ValueError):
+        BatchedPredictor(None, None, config, [0, 255],
+                         fwd=lambda x: x, static_hw=(48, 64),
+                         device_preprocess=True)

@@ -93,6 +93,19 @@ def test_predict_img_returns_original_resolution(carvana):
     assert mask.dtype == bool
 
 
+def test_predict_img_device_preprocess_bitexact(carvana):
+    """predict_img(device_preprocess=True) — decode-only host, Pillow-bit-
+    exact int32 resample on device — returns bitwise the host-path mask."""
+    config = UNetConfig(3, 1, bilinear=True, base_channels=8)
+    params, state = init_unet(jax.random.PRNGKey(0), config)
+    img = Image.open(next((carvana / "imgs").glob("*.png")))
+    np.testing.assert_array_equal(
+        predict_img(params, state, config, img, scale_factor=0.5,
+                    device_preprocess=True),
+        predict_img(params, state, config, img, scale_factor=0.5),
+    )
+
+
 def test_mask_to_image_palettes():
     m = np.array([[0, 1], [1, 0]])
     img = mask_to_image(m, [0, 255])

@@ -76,16 +76,38 @@ def predict_img(
     use_crf: bool = False,
     tta: bool = False,
     tta_mode: str = "flips",
+    device_preprocess: bool = False,
 ) -> np.ndarray:
     """Predict a mask for one PIL image at its ORIGINAL resolution.
 
     use_crf applies mean-field CRF refinement to the probabilities before
     thresholding (legacy-reference utils/crf.py capability, SURVEY.md §A.1).
     tta averages logits over the four flip views (models/tta.py) before the
-    reference's upscale→threshold pipeline.
+    reference's upscale→threshold pipeline. device_preprocess moves the
+    resize + /255 onto the device (Pillow-bit-exact int32 resample,
+    data/device_pipeline.py) — identical mask, host cost = decode only;
+    non-8-bit inputs fall back to the host path.
     """
-    img = BasicDataset.preprocess(None, full_img, scale_factor, is_mask=False)
-    x = jnp.asarray(img)[None]  # [1,H,W,C]
+    x = None
+    if device_preprocess:
+        from tpu_unet.data.device_pipeline import device_preprocess_images
+
+        arr = np.asarray(full_img)
+        if arr.dtype == np.uint8:
+            if arr.ndim == 2:
+                arr = arr[..., None]
+            new_h, new_w = (int(scale_factor * arr.shape[0]),
+                            int(scale_factor * arr.shape[1]))
+            assert new_h > 0 and new_w > 0, \
+                "Scale is too small, resized images would have no pixel"
+            x = device_preprocess_images(jnp.asarray(arr)[None],
+                                         out_h=new_h, out_w=new_w)
+        else:
+            logger.warning("non-8-bit image (%s): falling back to host "
+                           "preprocess", arr.dtype)
+    if x is None:
+        img = BasicDataset.preprocess(None, full_img, scale_factor, is_mask=False)
+        x = jnp.asarray(img)[None]  # [1,H,W,C]
     full_w, full_h = full_img.size
     logits = _forward_full(
         params, state, x, config=config, full_h=full_h, full_w=full_w,
@@ -249,6 +271,10 @@ def get_args(argv=None):
     parser.add_argument("--kernels", choices=["xla", "pallas"], default=None,
                         help="Fold BN and run the fused inference path with this backend "
                              "(default: the reference-parity train-graph forward)")
+    parser.add_argument("--device-preprocess", action="store_true", default=False,
+                        help="Resize + normalize on device (Pillow-bit-exact "
+                             "int32 resample — identical mask; host keeps "
+                             "only the decode)")
     return parser.parse_args(argv)
 
 
@@ -269,6 +295,11 @@ def main(argv=None):
         # rather than silently ignored there. (--tile/--tile-sharded DO
         # compose: the flip views ride as batch rows of the same sweep.)
         raise SystemExit("--tta does not compose with --kernels")
+    if args.device_preprocess and (args.tile or args.tile_sharded or args.kernels):
+        # Those variants host-preprocess inside their own drivers; reject
+        # rather than silently ignore the flag.
+        raise SystemExit("--device-preprocess applies to the default "
+                         "predict path (not --tile/--tile-sharded/--kernels)")
 
     config = UNetConfig(
         n_channels=3, n_classes=args.classes, bilinear=args.bilinear, arch=args.arch
@@ -325,6 +356,7 @@ def main(argv=None):
                 scale_factor=args.scale, out_threshold=args.mask_threshold,
                 amp=args.amp, use_crf=args.crf, tta=args.tta,
                 tta_mode=args.tta_mode,
+                device_preprocess=args.device_preprocess,
             )
 
         if not args.no_save:

@@ -123,6 +123,7 @@ class BatchedPredictor:
         halo: int = 128,
         tta: bool = False,
         tta_mode: str = "flips",
+        device_preprocess: bool = False,
     ):
         """``fwd``/``static_hw`` serve a pre-compiled artifact (export.py):
         ``fwd`` is called instead of building a model from params/state, and
@@ -160,6 +161,13 @@ class BatchedPredictor:
             raise ValueError("--tta serving composes with the XLA checkpoint "
                              "forwards (default or --tile), not "
                              "artifact/pallas mode")
+        if device_preprocess and fwd is not None:
+            # Artifact mode host-resizes to the program's one static input
+            # shape; there is no per-raw-shape resample program to insert.
+            raise ValueError("--device-preprocess does not apply to .jaxexp "
+                             "artifacts (their input shape is static); "
+                             "serve a checkpoint")
+        self.device_preprocess = device_preprocess
         if fwd is not None:
             pass  # exported-artifact forward, used as-is
         elif kernels:
@@ -283,6 +291,24 @@ class BatchedPredictor:
             self._run_batch(batch)
 
     def _preprocess(self, img: Image.Image) -> np.ndarray:
+        if self.device_preprocess and self.static_hw is None:
+            # Host does DECODE ONLY; the Pillow-bit-exact int32 resample +
+            # /255 run on device (data/device_pipeline.py), so the mask is
+            # bitwise the host path's while the per-request host CPU cost
+            # drops to the PNG/JPEG decode. Non-8-bit inputs (e.g. mode "I"
+            # 16-bit PNGs) fall back per request: the device resample's
+            # fixed-point math and 256-entry /255 table are u8 contracts.
+            arr = np.asarray(img)
+            if arr.dtype == np.uint8:
+                if arr.ndim == 2:
+                    arr = arr[..., None]
+                new_h = int(self.scale * arr.shape[0])
+                new_w = int(self.scale * arr.shape[1])
+                if new_h <= 0 or new_w <= 0:
+                    raise ValueError(
+                        "Scale is too small, resized images would have no pixel"
+                    )
+                return arr
         if self.static_hw is not None:
             # Artifact mode: the compiled program has one static input shape —
             # resize straight to it (BICUBIC, preprocess parity) and normalize.
@@ -314,9 +340,13 @@ class BatchedPredictor:
         # One canvas per shape keeps every batched result identical to its
         # solo run — padding the BATCH dim alone cannot leak across images
         # (tests/test_serve.py::test_mixed_size_batch_matches_solo).
+        # The key carries channels and dtype besides (H, W): a gray request
+        # must not land on an RGB canvas, and under --device-preprocess a
+        # raw uint8 request must not share a canvas with a host-preprocessed
+        # float32 fallback of coincidentally equal shape.
         groups: dict[tuple, list[int]] = {}
         for k, p in pre.items():
-            groups.setdefault(p.shape[:2], []).append(k)
+            groups.setdefault(p.shape + (p.dtype.str,), []).append(k)
         # No head-of-line blocking across shape groups (VERDICT r2 weak #5):
         # each group runs on the group executor, smallest canvas first, so a
         # lone tiled 2048² request captured in the same 5 ms window cannot
@@ -329,7 +359,7 @@ class BatchedPredictor:
             self._group_pool.submit(self._run_group, hw, idxs, pre, batch)
 
     def _run_group(self, hw, idxs, pre, batch):
-        (h, w) = hw
+        (h, w) = hw[:2]
         try:
             self.metrics.record_dispatch(len(idxs))
             # Canvas = next power of two ≥ group size: at most
@@ -342,17 +372,30 @@ class BatchedPredictor:
                 bsz = self.fixed_batch
             else:
                 bsz = min(self.max_batch, 1 << max(0, len(idxs) - 1).bit_length())
-            x = np.zeros((bsz, h, w, pre[idxs[0]].shape[-1]), np.float32)
+            first = pre[idxs[0]]
+            x = np.zeros((bsz, h, w, first.shape[-1]), first.dtype)
             for j, k in enumerate(idxs):
                 x[j] = pre[k]
+            xd = jnp.asarray(x)
+            eff_h, eff_w = h, w
+            if x.dtype == np.uint8:
+                # --device-preprocess group: raw uint8 canvas — resample +
+                # normalize on device, then the usual forward. Two jitted
+                # dispatches ride the same async stream, so every downstream
+                # mode (tta/kernels/tile) composes unchanged. All-zero pad
+                # rows stay zero through the u8 pipeline (max ≤ 1 → no /255).
+                from tpu_unet.data.device_pipeline import device_preprocess_images
+
+                eff_h, eff_w = int(self.scale * h), int(self.scale * w)
+                xd = device_preprocess_images(xd, out_h=eff_h, out_w=eff_w)
             fwd = self._fwd
             if self.tile:
                 from tpu_unet.parallel.tiling import padded_hw
 
-                ph, pw = padded_hw(h, w)  # unaligned shapes pad-and-crop
+                ph, pw = padded_hw(eff_h, eff_w)  # unaligned: pad-and-crop
                 if self.tile + 2 * self.halo <= min(ph, pw):
                     fwd = self._fwd_tiled
-            logits = fwd(jnp.asarray(x))
+            logits = fwd(xd)
             for j, k in enumerate(idxs):
                 img, slot, done, t_enq = batch[k]
                 full_w, full_h = img.size
@@ -553,13 +596,16 @@ def build_predictor(model_path: str, args) -> BatchedPredictor:
     if str(model_path).endswith(".jaxexp"):
         from tpu_unet.export import load_artifact_meta, load_exported
 
-        if args.tile or args.kernels or getattr(args, "tta", False):
+        if (args.tile or args.kernels or getattr(args, "tta", False)
+                or getattr(args, "device_preprocess", False)):
             # Reject rather than silently serve the full-image path: the
             # artifact IS the compiled program — there is no tiler, kernel
-            # backend, or TTA ensemble to select at the serving site.
-            raise SystemExit("--tile/--kernels/--tta do not apply to .jaxexp "
-                             "artifacts (the artifact is the compiled "
-                             "program); re-export or serve a checkpoint")
+            # backend, TTA ensemble, or per-raw-shape resample to select at
+            # the serving site.
+            raise SystemExit("--tile/--kernels/--tta/--device-preprocess do "
+                             "not apply to .jaxexp artifacts (the artifact "
+                             "is the compiled program); re-export or serve "
+                             "a checkpoint")
         exported = load_exported(model_path)
         (in_aval,) = exported.in_avals
         _, h_a, w_a, _ = in_aval.shape
@@ -624,6 +670,7 @@ def build_predictor(model_path: str, args) -> BatchedPredictor:
         tile=args.tile, halo=args.halo,
         tta=getattr(args, "tta", False),
         tta_mode=getattr(args, "tta_mode", "flips"),
+        device_preprocess=getattr(args, "device_preprocess", False),
     )
     if args.warmup:
         h_r, w_r = (int(v) for v in args.warmup.lower().split("x"))
@@ -675,6 +722,12 @@ def main(argv=None):
                         "(110 px) for exact stitching")
     p.add_argument("--max-body-mb", type=int, default=64,
                    help="Reject POST bodies larger than this with 413")
+    p.add_argument("--device-preprocess", action="store_true", default=False,
+                   help="Resize + normalize each request ON DEVICE "
+                        "(Pillow-bit-exact int32 resample — identical "
+                        "masks); host keeps only the image decode. "
+                        "Checkpoint serving only; non-8-bit images fall "
+                        "back to host preprocess per request")
     p.add_argument("--warmup", type=str, default=None, metavar="HxW",
                    help="Run one dummy request at this raw image size "
                         "before accepting traffic, so the jit compile "

@@ -114,6 +114,7 @@ def make_train_step(
     mesh=None,
     accum_steps: int = 1,
     vmem_limit_kib: int | None = None,
+    opt_shardings=None,
 ):
     """Build the single fused train step: fwd+loss+bwd+clip+RMSprop.
 
@@ -208,6 +209,14 @@ def make_train_step(
             grads, opt_state, params, lr,
             weight_decay=weight_decay, momentum=momentum,
         )
+        if opt_shardings is not None:
+            # ZeRO-1 (parallel/zero.py): pin the updated state to its
+            # input shardings so GSPMD keeps the fp32 trees 1/N per chip
+            # (and the donated buffers reusable) instead of re-replicating
+            # the outputs.
+            new_opt = jax.tree.map(
+                jax.lax.with_sharding_constraint, new_opt, opt_shardings
+            )
         if return_grads:
             return new_params, new_bn, new_opt, loss, gnorm, grads
         return new_params, new_bn, new_opt, loss, gnorm
@@ -269,12 +278,29 @@ def train_model(
     augment=None,
     vmem_limit_kib: int | None = None,
     val_per_epoch: int = 5,
+    zero: bool = False,
 ):
     """The reference's train_model, TPU-native. Returns (params, bn_state, history)."""
     if accum_steps > 1 and batch_size % accum_steps:
         raise ValueError(
             f"--accum-steps {accum_steps} must divide --batch-size {batch_size}"
         )
+    if zero:
+        # ZeRO-1 shards the fp32 RMSprop trees over the 'data' axis
+        # (parallel/zero.py) — it needs that axis, the GSPMD step (the
+        # shard_map Pallas path pins P() state specs), and not tp (which
+        # already shards the state over 'model').
+        if not data_parallel:
+            raise ValueError("--zero requires --data-parallel")
+        if kernels == "pallas":
+            raise ValueError("--zero requires the XLA backend")
+        if tensor_parallel > 1:
+            raise ValueError("--zero is redundant with --tensor-parallel "
+                             "(tp already shards the optimizer state)")
+        if pipeline_parallel > 1:
+            raise ValueError("--zero does not compose with "
+                             "--pipeline-parallel (stages hold 1/S of the "
+                             "state already)")
     if tensor_parallel > 1 and not data_parallel:
         # The 'model' axis is part of the one global mesh; a tp-only run is
         # the degenerate mesh with data axis 1, reached the same way.
@@ -480,6 +506,7 @@ def train_model(
                 rep = replicated(sharding.mesh)
                 params = jax.device_put(params, rep)
                 bn_state = jax.device_put(bn_state, rep)
+    opt_shardings = None
     if sharding is not None:
         if tensor_parallel > 1:
             # Shard the fp32 RMSprop trees like the params: the optimizer
@@ -487,6 +514,15 @@ def train_model(
             from tpu_unet.parallel.tensor import shard_opt_state
 
             opt_state = shard_opt_state(mesh, opt_state, params)
+        elif zero:
+            # ZeRO-1: fp32 state 1/N per chip, one all-gathered param delta
+            # per step (parallel/zero.py); bitwise the replicated update.
+            from tpu_unet.parallel.zero import (
+                shard_opt_state_zero, zero_opt_shardings,
+            )
+
+            opt_state = shard_opt_state_zero(mesh, opt_state, params)
+            opt_shardings = zero_opt_shardings(mesh, opt_state, params)
         else:
             opt_state = jax.device_put(opt_state, replicated(sharding.mesh))
     pipeline = None
@@ -518,7 +554,7 @@ def train_model(
             config, amp=amp, remat=remat, weight_decay=weight_decay,
             momentum=momentum, grad_clip=gradient_clipping,
             kernels=kernels, mesh=step_mesh, accum_steps=accum_steps,
-            vmem_limit_kib=vmem_limit_kib,
+            vmem_limit_kib=vmem_limit_kib, opt_shardings=opt_shardings,
         )
 
     # W&B histograms (5×/epoch) get their own compiled step instead of
@@ -1014,6 +1050,12 @@ def get_args(argv=None):
                              "shardings, one all-reduce per block). For "
                              "wide models whose params + fp32 optimizer "
                              "state outgrow one chip's HBM")
+    parser.add_argument("--zero", action="store_true", default=False,
+                        help="With --data-parallel: ZeRO-1 — shard the fp32 "
+                             "RMSprop state trees over the data axis (1/N "
+                             "per chip instead of replicated ≈248 MB at 31M "
+                             "params; one all-gathered param delta per "
+                             "step). Matches plain DP to fp32 round-off")
     parser.add_argument("--pipeline-parallel", type=int, default=1,
                         metavar="S",
                         help="GPipe depth partitioning: split the U-Net's "
@@ -1074,7 +1116,8 @@ def get_args(argv=None):
                              "(BENCH_NOTES.md r2)")
     parser.add_argument("--device-preprocess", action="store_true", default=False,
                         help="Decode on host, resize/normalize on the TPU "
-                             "(fast path; host PIL preprocess is the parity-exact default)")
+                             "(Pillow-bit-exact int32 resample on device; "
+                             "same tensors as the host PIL path)")
     parser.add_argument("--keep-checkpoints", type=int, default=None, metavar="N",
                         help="Retain only the newest N per-epoch checkpoints "
                              "(~124 MB each at 31M params); default keeps "
@@ -1193,6 +1236,7 @@ def main(argv=None):
             spatial_parallel=args.spatial_parallel,
             tensor_parallel=args.tensor_parallel,
             pipeline_parallel=args.pipeline_parallel,
+            zero=args.zero,
             accum_steps=args.accum_steps,
             ema_decay=args.ema_decay,
             val_per_epoch=args.val_per_epoch,
