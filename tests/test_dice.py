@@ -74,3 +74,28 @@ def test_cross_entropy_matches_torch(rng):
         torch.from_numpy(logits.transpose(0, 3, 1, 2)), torch.from_numpy(labels)
     )
     np.testing.assert_allclose(float(ours), float(ref), rtol=1e-5)
+
+
+def test_dice_weight_scales_and_drops_the_dice_term(rng):
+    """--dice-weight semantics (train.py::compute_loss): 0 is the legacy
+    reference layout's plain BCE/CE (SURVEY.md §A.1), other values scale
+    the Dice term linearly around the reference's 1.0."""
+    from tpu_unet.train import compute_loss
+
+    logits = jnp.asarray(rng.standard_normal((2, 8, 8, 1), dtype=np.float32))
+    masks = jnp.asarray((rng.random((2, 8, 8)) > 0.5).astype(np.int32))
+
+    full = float(compute_loss(logits, masks, 1))
+    plain = float(compute_loss(logits, masks, 1, dice_weight=0.0))
+    half = float(compute_loss(logits, masks, 1, dice_weight=0.5))
+
+    ref_bce = float(bce_with_logits(logits[..., 0], masks.astype(jnp.float32)))
+    np.testing.assert_allclose(plain, ref_bce, rtol=1e-6)
+    np.testing.assert_allclose(half, plain + 0.5 * (full - plain), rtol=1e-5)
+
+    # Multiclass path takes the same knob.
+    logits_mc = jnp.asarray(rng.standard_normal((2, 8, 8, 3), dtype=np.float32))
+    masks_mc = jnp.asarray(rng.integers(0, 3, (2, 8, 8)))
+    full_mc = float(compute_loss(logits_mc, masks_mc, 3))
+    plain_mc = float(compute_loss(logits_mc, masks_mc, 3, dice_weight=0.0))
+    assert plain_mc < full_mc  # the dice term is non-negative here

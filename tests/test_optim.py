@@ -1,6 +1,7 @@
 """Optimizer/scheduler parity vs torch (SURVEY.md §7 hard part #2)."""
 
 import numpy as np
+import pytest
 import torch
 
 import jax.numpy as jnp
@@ -8,6 +9,7 @@ import jax.numpy as jnp
 from tpu_unet.optim import (
     ReduceLROnPlateau,
     clip_grad_norm,
+    get_optimizer,
     rmsprop_init,
     rmsprop_update,
 )
@@ -50,6 +52,87 @@ def test_rmsprop_with_larger_lr_diverges_identically(rng):
             weight_decay=1e-4, momentum=0.9,
         )
     np.testing.assert_allclose(np.asarray(params["w"]), p_t.detach().numpy(), atol=1e-5, rtol=1e-4)
+
+
+def _torch_optimizer(name, params, lr, wd):
+    """torch counterpart of get_optimizer(name) at its per-name defaults
+    (the menu's contract: sgd = the legacy reference's SGD(momentum=0.9),
+    SURVEY.md §A.1; adam/adamw at torch defaults)."""
+    if name == "sgd":
+        return torch.optim.SGD(params, lr=lr, momentum=0.9, weight_decay=wd)
+    if name == "adam":
+        return torch.optim.Adam(params, lr=lr, weight_decay=wd)
+    if name == "adamw":
+        return torch.optim.AdamW(params, lr=lr, weight_decay=wd)
+    if name == "rmsprop":
+        return torch.optim.RMSprop(params, lr=lr, momentum=0.999, weight_decay=wd)
+    raise AssertionError(name)
+
+
+@pytest.mark.parametrize("name", ["sgd", "adam", "adamw", "rmsprop"])
+@pytest.mark.parametrize("wd", [0.0, 1e-2])
+def test_optimizer_menu_matches_torch(rng, name, wd):
+    """Step-exact vs torch.optim over 8 steps at a visible lr, with and
+    without weight decay (decoupled for adamw, L2-folded elsewhere)."""
+    lr = 1e-2
+    w0 = rng.standard_normal((5, 3), dtype=np.float32)
+    b0 = rng.standard_normal((7,), dtype=np.float32)
+    p_t = [torch.nn.Parameter(torch.from_numpy(w0.copy())),
+           torch.nn.Parameter(torch.from_numpy(b0.copy()))]
+    opt_t = _torch_optimizer(name, p_t, lr, wd)
+
+    init, update = get_optimizer(name, weight_decay=wd)
+    params = {"w": jnp.asarray(w0), "b": jnp.asarray(b0)}
+    state = init(params)
+
+    for step in range(8):
+        gw = rng.standard_normal((5, 3), dtype=np.float32)
+        gb = rng.standard_normal((7,), dtype=np.float32)
+        p_t[0].grad = torch.from_numpy(gw.copy())
+        p_t[1].grad = torch.from_numpy(gb.copy())
+        opt_t.step()
+        params, state = update(
+            {"w": jnp.asarray(gw), "b": jnp.asarray(gb)}, state, params, lr)
+        for ours, theirs in zip((params["w"], params["b"]), p_t):
+            np.testing.assert_allclose(
+                np.asarray(ours), theirs.detach().numpy(),
+                atol=1e-6, rtol=1e-5, err_msg=f"{name} wd={wd} step {step}",
+            )
+
+
+def test_sgd_nesterov_matches_torch(rng):
+    from tpu_unet.optim import sgd_init, sgd_update
+
+    w0 = rng.standard_normal((4, 4), dtype=np.float32)
+    p_t = torch.nn.Parameter(torch.from_numpy(w0.copy()))
+    opt_t = torch.optim.SGD([p_t], lr=1e-2, momentum=0.9, nesterov=True)
+    params = {"w": jnp.asarray(w0)}
+    state = sgd_init(params)
+    for _ in range(6):
+        g = rng.standard_normal((4, 4), dtype=np.float32)
+        p_t.grad = torch.from_numpy(g.copy())
+        opt_t.step()
+        params, state = sgd_update({"w": jnp.asarray(g)}, state, params, 1e-2,
+                                   momentum=0.9, nesterov=True)
+    np.testing.assert_allclose(np.asarray(params["w"]), p_t.detach().numpy(),
+                               atol=1e-6, rtol=1e-5)
+
+
+def test_momentum_override_threads_through_menu(rng):
+    """get_optimizer(momentum=...) must override the per-name default."""
+    w0 = rng.standard_normal((3, 3), dtype=np.float32)
+    p_t = torch.nn.Parameter(torch.from_numpy(w0.copy()))
+    opt_t = torch.optim.SGD([p_t], lr=1e-2, momentum=0.5)
+    init, update = get_optimizer("sgd", weight_decay=0.0, momentum=0.5)
+    params = {"w": jnp.asarray(w0)}
+    state = init(params)
+    for _ in range(5):
+        g = rng.standard_normal((3, 3), dtype=np.float32)
+        p_t.grad = torch.from_numpy(g.copy())
+        opt_t.step()
+        params, state = update({"w": jnp.asarray(g)}, state, params, 1e-2)
+    np.testing.assert_allclose(np.asarray(params["w"]), p_t.detach().numpy(),
+                               atol=1e-6, rtol=1e-5)
 
 
 def test_clip_grad_norm_matches_torch(rng):

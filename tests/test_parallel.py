@@ -417,6 +417,61 @@ def test_zero_sharded_opt_state_matches_plain_dp():
         assert x.sharding.spec != P(), x.shape
 
 
+def test_zero_composes_with_adam_scalar_step():
+    """The optimizer menu rides ZeRO-1: AdamState carries a non-param-shaped
+    scalar ``step`` (optim/optimizers.py), which zero_opt_shardings must
+    replicate while sharding the two moment trees 1/8 per chip."""
+    from jax.sharding import PartitionSpec as P
+
+    from tpu_unet.optim import get_optimizer
+    from tpu_unet.parallel.zero import shard_opt_state_zero, zero_opt_shardings
+
+    config = UNetConfig(3, 1, bilinear=True, base_channels=8)
+    params, state = init_unet(jax.random.PRNGKey(0), config)
+    mesh = make_mesh()
+    shard = batch_sharding(mesh)
+    rep = replicated(mesh)
+    imgs, masks = synth_batch(np.random.default_rng(0), 8, 32, 32)
+    args = (jax.device_put(jnp.asarray(imgs), shard),
+            jax.device_put(jnp.asarray(masks), shard), jnp.float32(1e-3))
+    adam_init, _ = get_optimizer("adam")
+
+    def run(zero):
+        copy = lambda t: jax.tree.map(jnp.array, t)
+        p = jax.device_put(copy(params), rep)
+        s = jax.device_put(copy(state), rep)
+        o = adam_init(p)
+        if zero:
+            o = shard_opt_state_zero(mesh, o, params)
+            step = make_train_step(
+                config, optimizer="adam",
+                opt_shardings=zero_opt_shardings(mesh, o, params))
+        else:
+            o = jax.device_put(o, rep)
+            step = make_train_step(config, optimizer="adam")
+        for _ in range(3):
+            p, s, o, loss, gnorm = step(p, s, o, *args)
+        return p, o, loss
+
+    p_plain, o_plain, loss_plain = run(zero=False)
+    p_zero, o_zero, loss_zero = run(zero=True)
+
+    np.testing.assert_allclose(float(loss_plain), float(loss_zero), rtol=1e-6)
+    assert int(o_zero.step) == 3  # the bias-correction counter advanced
+    for a, b in zip(jax.tree.leaves(p_plain), jax.tree.leaves(p_zero)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-4)
+    # Moment trees stay sharded after the step; the scalar stays replicated.
+    sharded_leaves = [
+        x for t in (o_zero.exp_avg, o_zero.exp_avg_sq)
+        for x in jax.tree.leaves(t) if any(d % 8 == 0 for d in x.shape)
+    ]
+    assert sharded_leaves
+    for x in sharded_leaves:
+        assert x.sharding.spec != P(), x.shape
+    assert o_zero.step.sharding.spec == P()
+
+
 def test_zero_train_model_e2e(tmp_path):
     """--zero end-to-end through train_model: loss history matches the
     plain-DP run to fp32 round-off."""

@@ -231,6 +231,41 @@ def test_tp_shards_unetpp_too():
     np.testing.assert_allclose(l_tp, l_ref, rtol=5e-4)
 
 
+def test_tp_shards_adam_state_with_scalar_step():
+    """The optimizer menu (optim/optimizers.py) composes with tp:
+    shard_opt_state shards AdamState's two moment trees over 'model' and
+    replicates the scalar ``step`` counter; one adam train step matches
+    single-device to fp32 reassociation tolerance."""
+    from tpu_unet.optim import get_optimizer
+
+    params, state = _init()
+    imgs, masks = synth_batch(np.random.default_rng(3), 8, 32, 32)
+    imgs, masks = jnp.asarray(imgs), jnp.asarray(masks)
+    adam_init, _ = get_optimizer("adam")
+
+    def run(mesh):
+        p0 = jax.tree.map(jnp.array, params)
+        s0 = jax.tree.map(jnp.array, state)
+        if mesh is None:
+            p, s, o = p0, s0, adam_init(p0)
+            im, mk = imgs, masks
+        else:
+            p, s = shard_model(mesh, p0, s0)
+            o = shard_opt_state(mesh, adam_init(p0), p0)
+            assert o.step.sharding.spec == P()  # scalar replicated
+        if mesh is not None:
+            im = jax.device_put(imgs, image_sharding(mesh))
+            mk = jax.device_put(masks, image_sharding(mesh))
+        step = make_train_step(CONFIG, optimizer="adam")
+        p, s, o, loss, _ = step(p, s, o, im, mk, jnp.float32(1e-3))
+        return float(loss), o
+
+    l_ref, _ = run(None)
+    l_tp, o_tp = run(make_mesh_3d(model=2))
+    np.testing.assert_allclose(l_tp, l_ref, rtol=5e-4)
+    assert int(o_tp.step) == 1
+
+
 def test_tp_shards_attention_unet_too():
     """Attention U-Net's encoder/decoder reuses the DoubleConv structure,
     so the Megatron pairing shards it with no arch-specific code; the

@@ -46,6 +46,94 @@ def test_train_loss_decreases(carvana, tmp_path):
     assert 0.0 <= val_dice <= 1.0 and 0.0 <= val_iou <= 1.0
 
 
+@pytest.mark.parametrize("optimizer", ["sgd", "adam", "adamw"])
+def test_optimizer_menu_e2e(carvana, tmp_path, optimizer):
+    """train_model drives every menu entry end-to-end: loss decreases, the
+    checkpoint self-describes its optimizer, and full-state --resume
+    round-trips through the non-RMSprop state structures."""
+    from tpu_unet.checkpoint import read_checkpoint_meta
+
+    config = UNetConfig(3, 1, bilinear=True, base_channels=8)
+    params, state = init_unet(jax.random.PRNGKey(0), config)
+    ds = CarvanaDataset(carvana / "imgs", carvana / "masks", scale=1.0, num_workers=0)
+
+    params, state, hist = train_model(
+        params, state, config,
+        dataset=ds, epochs=2, batch_size=2,
+        learning_rate=1e-2 if optimizer == "sgd" else 1e-3,
+        optimizer=optimizer, save_optimizer=True,
+        val_percent=0.2, checkpoint_dir=tmp_path / "ckpts", seed=0,
+    )
+    losses = hist["train_loss"]
+    assert np.all(np.isfinite(losses))
+    assert np.mean(losses[-4:]) < np.mean(losses[:4])
+    ckpt = tmp_path / "ckpts" / "checkpoint_epoch2.npz"
+    _, extra = read_checkpoint_meta(ckpt)
+    assert extra["optimizer"] == optimizer
+
+    # Same-optimizer resume restores the saved state structure cleanly.
+    p2, s2 = init_unet(jax.random.PRNGKey(1), config)
+    _, _, hist2 = train_model(
+        p2, s2, config, dataset=ds, epochs=3, batch_size=2,
+        learning_rate=1e-3, optimizer=optimizer, resume=str(ckpt),
+        val_percent=0.2, save_checkpoint_flag=False, seed=0,
+    )
+    assert len(hist2["train_loss"]) == 4  # epochs 1-2 already done
+
+
+def test_optimizer_mismatch_resume_degrades_to_weights_only(carvana, tmp_path, caplog):
+    """A checkpoint written under rmsprop resumed with --optimizer sgd must
+    not crash on the opt/ key structure — it warns and drops the state."""
+    import logging
+
+    config = UNetConfig(3, 1, bilinear=True, base_channels=8)
+    params, state = init_unet(jax.random.PRNGKey(0), config)
+    ds = CarvanaDataset(carvana / "imgs", carvana / "masks", scale=1.0, num_workers=0)
+    params, state, _ = train_model(
+        params, state, config, dataset=ds, epochs=1, batch_size=2,
+        learning_rate=1e-3, save_optimizer=True,
+        val_percent=0.2, checkpoint_dir=tmp_path / "ck", seed=0,
+    )
+    ckpt = tmp_path / "ck" / "checkpoint_epoch1.npz"
+    p2, s2 = init_unet(jax.random.PRNGKey(1), config)
+    with caplog.at_level(logging.WARNING):
+        _, _, hist = train_model(
+            p2, s2, config, dataset=ds, epochs=2, batch_size=2,
+            learning_rate=1e-2, optimizer="sgd", resume=str(ckpt),
+            val_percent=0.2, save_checkpoint_flag=False, seed=0,
+        )
+    assert any("optimizer state (if any) is discarded" in r.getMessage()
+               for r in caplog.records)
+    assert np.all(np.isfinite(hist["train_loss"]))
+
+
+def test_legacy_trainer_combo_one_step():
+    """The legacy reference layout's recipe — SGD(momentum 0.9) + plain BCE
+    (SURVEY.md §A.1) — through the fused step."""
+    from tpu_unet.optim import get_optimizer
+
+    config = UNetConfig(3, 1, bilinear=True, base_channels=8)
+    params, state = init_unet(jax.random.PRNGKey(0), config)
+    sgd_init, _ = get_optimizer("sgd")
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.random((2, 32, 32, 3), dtype=np.float32))
+    masks = jnp.asarray((rng.random((2, 32, 32)) > 0.5).astype(np.int32))
+    copy = lambda t: jax.tree.map(jnp.array, t)  # the fused step donates
+
+    step = make_train_step(config, optimizer="sgd", dice_weight=0.0)
+    p2, s2, o2, loss, gnorm = step(copy(params), copy(state),
+                                   sgd_init(params), imgs, masks,
+                                   jnp.float32(1e-2))
+    assert np.isfinite(float(loss)) and float(loss) > 0
+    # Plain BCE: the dice term (>=0 generically) is absent, so the loss sits
+    # below the combined criterion on the same inputs.
+    step_full = make_train_step(config, optimizer="sgd")
+    p3, s3, o3, loss_full, _ = step_full(copy(params), copy(state),
+                                         sgd_init(params), imgs, masks,
+                                         jnp.float32(1e-2))
+    assert float(loss) < float(loss_full)
+
+
 def test_multiclass_loss_path():
     config = UNetConfig(3, 3, bilinear=False, base_channels=8)
     params, state = init_unet(jax.random.PRNGKey(0), config)

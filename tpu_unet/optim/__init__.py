@@ -1,3 +1,13 @@
+from tpu_unet.optim.optimizers import (
+    OPTIMIZERS,
+    AdamState,
+    SGDState,
+    adam_init,
+    adam_update,
+    get_optimizer,
+    sgd_init,
+    sgd_update,
+)
 from tpu_unet.optim.plateau import ReduceLROnPlateau
 from tpu_unet.optim.rmsprop import (
     RMSpropState,
@@ -7,9 +17,17 @@ from tpu_unet.optim.rmsprop import (
 )
 
 __all__ = [
+    "OPTIMIZERS",
+    "AdamState",
     "ReduceLROnPlateau",
     "RMSpropState",
+    "SGDState",
+    "adam_init",
+    "adam_update",
     "clip_grad_norm",
+    "get_optimizer",
     "rmsprop_init",
     "rmsprop_update",
+    "sgd_init",
+    "sgd_update",
 ]

@@ -194,6 +194,7 @@ class PipelineRunner:
         weight_decay: float = 1e-8,
         momentum: float = 0.999,
         grad_clip: float = 1.0,
+        dice_weight: float = 1.0,
         devices: list | None = None,
     ):
         if config.arch != "unet":
@@ -275,7 +276,8 @@ class PipelineRunner:
                     p, state_s, x, seg_names=last_segs, config=cfg,
                     compute_dtype=cdt,
                 )
-                return compute_loss(out["logits"], masks, cfg.n_classes), ns
+                return compute_loss(out["logits"], masks, cfg.n_classes,
+                                    dice_weight=dice_weight), ns
 
             (loss, ns), (gp, gx) = jax.value_and_grad(
                 loss_fn, argnums=(0, 1), has_aux=True

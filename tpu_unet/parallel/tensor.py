@@ -146,10 +146,17 @@ def shard_model(mesh: Mesh, params, bn_state):
 
 
 def shard_opt_state(mesh: Mesh, opt_state, params):
-    """RMSprop state mirrors the params tree — shard it identically, so the
-    optimizer update stays shard-local (no gather of the fp32 state trees)."""
+    """The fp32 state trees mirror the params tree — shard them identically,
+    so the optimizer update stays shard-local (no gather of the fp32 state
+    trees). Non-param-shaped fields (Adam's scalar ``step``,
+    optim/optimizers.py) are replicated."""
     tp = mesh.shape["model"]
     specs = unet_param_specs(params, tp)
-    return type(opt_state)(
-        *(_place(mesh, tree, specs) for tree in opt_state)
-    )
+    ptreedef = jax.tree.structure(params)
+
+    def place_field(tree):
+        if jax.tree.structure(tree) == ptreedef:
+            return _place(mesh, tree, specs)
+        return _place(mesh, tree, jax.tree.map(lambda _: P(), tree))
+
+    return type(opt_state)(*(place_field(t) for t in opt_state))

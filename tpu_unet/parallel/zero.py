@@ -57,16 +57,22 @@ def zero_state_specs(params, n: int, axis: str = "data"):
 
 
 def zero_opt_shardings(mesh: Mesh, opt_state, params, axis: str = "data"):
-    """NamedSharding pytree matching ``opt_state`` (state trees mirror the
-    params tree leaf-for-leaf)."""
+    """NamedSharding pytree matching ``opt_state``. State fields that mirror
+    the params tree leaf-for-leaf get the 1/N shardings; any other field
+    (e.g. Adam's scalar ``step`` counter, optim/optimizers.py) is replicated
+    — sharding a scalar is meaningless and correctness never depends on it."""
     specs = zero_state_specs(params, mesh.shape[axis], axis)
-    return type(opt_state)(
-        *(jax.tree.map(lambda s: NamedSharding(mesh, s), specs)
-          for _ in opt_state)
-    )
+    ptreedef = jax.tree.structure(params)
+
+    def field_shardings(tree):
+        if jax.tree.structure(tree) == ptreedef:
+            return jax.tree.map(lambda s: NamedSharding(mesh, s), specs)
+        return jax.tree.map(lambda _: NamedSharding(mesh, P()), tree)
+
+    return type(opt_state)(*(field_shardings(t) for t in opt_state))
 
 
 def shard_opt_state_zero(mesh: Mesh, opt_state, params, axis: str = "data"):
-    """Place the RMSprop state sharded over ``axis`` (1/N per chip)."""
+    """Place the fp32 optimizer state sharded over ``axis`` (1/N per chip)."""
     shardings = zero_opt_shardings(mesh, opt_state, params, axis)
     return jax.tree.map(jax.device_put, opt_state, shardings)

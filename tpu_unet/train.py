@@ -37,7 +37,12 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from tpu_unet.checkpoint import AsyncCheckpointer, import_pth, load_checkpoint
+from tpu_unet.checkpoint import (
+    AsyncCheckpointer,
+    import_pth,
+    load_checkpoint,
+    read_checkpoint_meta,
+)
 from tpu_unet.data import (
     BasicDataset,
     CarvanaDataset,
@@ -48,7 +53,7 @@ from tpu_unet.data import (
 from tpu_unet.evaluate import evaluate
 from tpu_unet.losses import bce_with_logits, cross_entropy, dice_loss
 from tpu_unet.models import UNetConfig, init_unet, param_count, unet_apply
-from tpu_unet.optim import ReduceLROnPlateau, clip_grad_norm, rmsprop_init, rmsprop_update
+from tpu_unet.optim import ReduceLROnPlateau, clip_grad_norm, get_optimizer
 from tpu_unet.parallel.mesh import (
     batch_sharding, image_sharding, make_mesh, make_mesh_2d, replicated,
 )
@@ -60,8 +65,13 @@ dir_mask = Path("./data/masks/")
 dir_checkpoint = Path("./checkpoints/")
 
 
-def compute_loss(logits, masks, n_classes: int, axis_name: str | None = None):
+def compute_loss(logits, masks, n_classes: int, axis_name: str | None = None,
+                 dice_weight: float = 1.0):
     """The reference's combined criterion (SURVEY.md §3.1 hot loop).
+
+    ``dice_weight`` scales the Dice term (static at trace time); 0 drops it
+    entirely — the LEGACY reference layout trained on plain BCE with no
+    Dice (SURVEY.md §A.1), reachable via ``train --dice-weight 0``.
 
     With ``axis_name`` (shard_map DP) the returned scalar is the REPLICATED
     global-batch loss: the BCE/CE local means are pmean'd (equal shards) and
@@ -78,16 +88,18 @@ def compute_loss(logits, masks, n_classes: int, axis_name: str | None = None):
         logit = logits[..., 0]
         mask_f = masks.astype(jnp.float32)
         ce = bce_with_logits(logit, mask_f)
-        dl = dice_loss(jax.nn.sigmoid(logit), mask_f, multiclass=False,
-                       axis_name=axis_name)
+        dl = (dice_loss(jax.nn.sigmoid(logit), mask_f, multiclass=False,
+                        axis_name=axis_name)
+              if dice_weight else None)
     else:
         mask_oh = jax.nn.one_hot(masks, n_classes, dtype=jnp.float32)
         ce = cross_entropy(logits, masks)
-        dl = dice_loss(jax.nn.softmax(logits, axis=-1), mask_oh, multiclass=True,
-                       axis_name=axis_name)
+        dl = (dice_loss(jax.nn.softmax(logits, axis=-1), mask_oh,
+                        multiclass=True, axis_name=axis_name)
+              if dice_weight else None)
     if axis_name is not None:
         ce = jax.lax.pmean(ce, axis_name)
-    return ce + dl
+    return ce if dl is None else ce + dice_weight * dl
 
 
 _HIST_CAP = 16384  # max elements fetched per leaf for W&B histograms
@@ -107,7 +119,7 @@ def make_train_step(
     amp: bool = False,
     remat: bool = False,
     weight_decay: float = 1e-8,
-    momentum: float = 0.999,
+    momentum: float | None = None,
     grad_clip: float = 1.0,
     return_grads: bool = False,
     kernels: str | None = None,
@@ -115,8 +127,16 @@ def make_train_step(
     accum_steps: int = 1,
     vmem_limit_kib: int | None = None,
     opt_shardings=None,
+    optimizer: str = "rmsprop",
+    dice_weight: float = 1.0,
 ):
-    """Build the single fused train step: fwd+loss+bwd+clip+RMSprop.
+    """Build the single fused train step: fwd+loss+bwd+clip+optimizer.
+
+    ``optimizer`` selects the update rule (optim/optimizers.py): the
+    reference's RMSprop by default, ``sgd`` for the legacy reference's
+    SGD(momentum=0.9) (SURVEY.md §A.1), ``adam``/``adamw`` beyond-reference.
+    ``momentum`` None takes the per-optimizer default. The caller's
+    ``opt_state`` argument must come from the matching init (get_optimizer).
 
     ``return_grads`` appends the clipped gradient pytree to the outputs
     (for W&B gradient histograms, reference parity SURVEY.md §2 #22); off by
@@ -153,6 +173,9 @@ def make_train_step(
     """
     compute_dtype = jnp.bfloat16 if amp else None
     axis_name = "data" if mesh is not None else None
+    _, opt_update = get_optimizer(
+        optimizer, weight_decay=weight_decay, momentum=momentum
+    )
 
     def grads_and_loss(params, bn_state, images, masks):
         def loss_fn(p):
@@ -161,7 +184,8 @@ def make_train_step(
                 compute_dtype=compute_dtype, remat=remat, kernels=kernels,
                 axis_name=axis_name,
             )
-            return compute_loss(logits, masks, config.n_classes, axis_name), new_bn
+            return compute_loss(logits, masks, config.n_classes, axis_name,
+                                dice_weight=dice_weight), new_bn
 
         (loss, new_bn), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         if axis_name is not None:
@@ -205,10 +229,7 @@ def make_train_step(
             grads = jax.tree.map(lambda g: g * inv, gsum)
             loss = lsum * inv
         grads, gnorm = clip_grad_norm(grads, grad_clip)
-        new_params, new_opt = rmsprop_update(
-            grads, opt_state, params, lr,
-            weight_decay=weight_decay, momentum=momentum,
-        )
+        new_params, new_opt = opt_update(grads, opt_state, params, lr)
         if opt_shardings is not None:
             # ZeRO-1 (parallel/zero.py): pin the updated state to its
             # input shardings so GSPMD keeps the fp32 trees 1/N per chip
@@ -258,8 +279,10 @@ def train_model(
     save_best: bool = False,
     amp: bool = False,
     weight_decay: float = 1e-8,
-    momentum: float = 0.999,
+    momentum: float | None = None,
     gradient_clipping: float = 1.0,
+    optimizer: str = "rmsprop",
+    dice_weight: float = 1.0,
     remat: bool = False,
     data_parallel: bool = False,
     use_wandb: bool = False,
@@ -310,6 +333,11 @@ def train_model(
         # Depth partitioning assigns whole devices to stages (GPipe,
         # parallel/pipeline.py) — it is an ALTERNATIVE to the GSPMD mesh
         # axes, not a fourth axis of the same mesh.
+        if optimizer != "rmsprop":
+            raise ValueError(
+                "--pipeline-parallel supports the reference RMSprop only "
+                "(the stage runner splits RMSpropState by stage; "
+                "parallel/pipeline.py)")
         if data_parallel or spatial_parallel > 1 or tensor_parallel > 1:
             raise ValueError(
                 "--pipeline-parallel does not compose with --data-parallel/"
@@ -479,13 +507,28 @@ def train_model(
         epochs, batch_size, learning_rate, n_train, n_val, amp, jax.device_count(),
     )
 
-    opt_state = rmsprop_init(params)
+    opt_init, _ = get_optimizer(optimizer, weight_decay=weight_decay,
+                                momentum=momentum)
+    opt_state = opt_init(params)
     scheduler = ReduceLROnPlateau(lr=learning_rate, mode="max", patience=5)
     start_epoch = 1
     if resume:
         # Full-state resume (beyond-reference: the reference's --load restores
-        # weights only and restarts epochs; SURVEY.md §5).
-        params, bn_state, _, extra = load_checkpoint(resume, params, bn_state, opt_state)
+        # weights only and restarts epochs; SURVEY.md §5). Optimizer state
+        # only restores into the SAME optimizer's structure — checkpoints
+        # are self-describing (extra['optimizer']), so a mismatch degrades
+        # to weights-only resume with a warning instead of cryptic opt/
+        # key errors.
+        _, prev_extra = read_checkpoint_meta(resume)
+        saved_opt = prev_extra.get("optimizer", "rmsprop")
+        opt_like = opt_state
+        if saved_opt != optimizer:
+            logger.warning(
+                "Resume checkpoint was written by optimizer %r but this run "
+                "uses %r — optimizer state (if any) is discarded; weights/"
+                "scheduler/epoch still restore.", saved_opt, optimizer)
+            opt_like = None
+        params, bn_state, _, extra = load_checkpoint(resume, params, bn_state, opt_like)
         if "opt_state" in extra:
             opt_state = extra.pop("opt_state")
         start_epoch = int(extra.get("epoch", 0)) + 1
@@ -538,7 +581,8 @@ def train_model(
             params, bn_state, config,
             n_stages=pipeline_parallel, microbatches=microbatches,
             opt_state=opt_state, amp=amp, weight_decay=weight_decay,
-            momentum=momentum, grad_clip=gradient_clipping,
+            momentum=0.999 if momentum is None else momentum,
+            grad_clip=gradient_clipping, dice_weight=dice_weight,
         )
         logger.info(
             "Pipeline parallelism: %d stages %s over %d devices, "
@@ -555,6 +599,7 @@ def train_model(
             momentum=momentum, grad_clip=gradient_clipping,
             kernels=kernels, mesh=step_mesh, accum_steps=accum_steps,
             vmem_limit_kib=vmem_limit_kib, opt_shardings=opt_shardings,
+            optimizer=optimizer, dice_weight=dice_weight,
         )
 
     # W&B histograms (5×/epoch) get their own compiled step instead of
@@ -571,7 +616,8 @@ def train_model(
                 pp, s, images, config=config, train=True,
                 compute_dtype=jnp.bfloat16 if amp else None, remat=remat,
             )
-            return compute_loss(logits, masks, config.n_classes)
+            return compute_loss(logits, masks, config.n_classes,
+                                dice_weight=dice_weight)
 
         grads = jax.grad(loss_fn)(p)
         sub = lambda t: jax.tree.map(_subsample_leaf, t)
@@ -644,8 +690,6 @@ def train_model(
         # clobber a better model with its first (worse) validation.
         best_path = checkpoint_dir / "checkpoint_best.npz"
         if best_path.exists():
-            from tpu_unet.checkpoint import read_checkpoint_meta
-
             try:
                 _, best_extra = read_checkpoint_meta(best_path)
                 best_dice = float(best_extra.get("val_dice", best_dice))
@@ -698,6 +742,7 @@ def train_model(
             extra={"epoch": epoch - 1, "step": global_step,
                    "lr": scheduler.lr, "interrupted": True,
                    "scheduler": scheduler.state_dict(),
+                   "optimizer": optimizer,
                    "config": config._asdict()},
             opt_state=opt_state,  # always included: resumability is the point
         )
@@ -827,6 +872,7 @@ def train_model(
                             mask_values=getattr(dataset, "mask_values", None),
                             extra={"epoch": epoch, "step": global_step,
                                    "val_dice": val_dice, "lr": scheduler.lr,
+                                   "optimizer": optimizer,
                                    "config": config._asdict()},
                             opt_state=opt_state if save_optimizer else None,
                         )
@@ -935,6 +981,7 @@ def train_model(
                     # model config (arch, classes, deep supervision, ...).
                     extra={"epoch": epoch, "lr": scheduler.lr,
                            "scheduler": scheduler.state_dict(),
+                           "optimizer": optimizer,
                            "config": config._asdict()},
                     opt_state=opt_state if save_optimizer else None,
                 )
@@ -1002,6 +1049,28 @@ def get_args(argv=None):
     parser.add_argument("--bilinear", action="store_true", default=False, help="Use bilinear upsampling")
     parser.add_argument("--classes", "-c", type=int, default=1, help="Number of classes")
     # TPU-framework extensions (additive, not in the reference CLI):
+    parser.add_argument("--optimizer", choices=["rmsprop", "sgd", "adam", "adamw"],
+                        default="rmsprop",
+                        help="Update rule (optim/optimizers.py): the "
+                             "reference's RMSprop (default), the legacy "
+                             "reference's SGD(momentum=0.9) (SURVEY.md "
+                             "§A.1), or Adam/AdamW (torch-parity, "
+                             "beyond-reference). Composes with --zero/"
+                             "--tensor-parallel; --pipeline-parallel is "
+                             "RMSprop-only")
+    parser.add_argument("--momentum", type=float, default=None,
+                        help="Momentum override (default: 0.999 for rmsprop "
+                             "— the reference's value — and 0.9 for sgd; "
+                             "ignored by adam/adamw)")
+    parser.add_argument("--weight-decay", type=float, default=1e-8,
+                        help="Weight decay (reference RMSprop default 1e-8; "
+                             "L2-folded for rmsprop/sgd/adam, decoupled for "
+                             "adamw)")
+    parser.add_argument("--dice-weight", type=float, default=1.0,
+                        help="Weight of the Dice term in the loss (the "
+                             "reference adds it at 1.0); 0 trains on plain "
+                             "BCE/CE — the LEGACY reference layout's loss "
+                             "(SURVEY.md §A.1)")
     parser.add_argument("--arch", choices=["unet", "unetpp", "attention"], default="unet",
                         help="Model family: classic U-Net (reference parity) or UNet++")
     parser.add_argument("--deep-supervision", action="store_true", default=False,
@@ -1052,7 +1121,7 @@ def get_args(argv=None):
                              "state outgrow one chip's HBM")
     parser.add_argument("--zero", action="store_true", default=False,
                         help="With --data-parallel: ZeRO-1 — shard the fp32 "
-                             "RMSprop state trees over the data axis (1/N "
+                             "optimizer state trees over the data axis (1/N "
                              "per chip instead of replicated ≈248 MB at 31M "
                              "params; one all-gathered param delta per "
                              "step). Matches plain DP to fp32 round-off")
@@ -1223,6 +1292,10 @@ def main(argv=None):
             learning_rate=args.lr,
             val_percent=args.val / 100,
             amp=args.amp,
+            optimizer=args.optimizer,
+            momentum=args.momentum,
+            weight_decay=args.weight_decay,
+            dice_weight=args.dice_weight,
             remat=remat,
             data_parallel=args.data_parallel,
             use_wandb=args.wandb,
