@@ -182,3 +182,51 @@ def test_plateau_matches_torch_negative_metrics():
         lr_j = sched_j.step(m)
         lr_t = opt.param_groups[0]["lr"]
         assert abs(lr_j - lr_t) < 1e-12, (m, lr_j, lr_t)
+
+
+def test_cosine_scheduler_matches_torch():
+    """Per-epoch lr sequence vs torch CosineAnnealingLR, incl. past T_max
+    (the closed form is periodic, like torch's recursion)."""
+    from tpu_unet.optim import CosineAnnealingLR
+
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.SGD([p], lr=0.1)
+    sched_t = torch.optim.lr_scheduler.CosineAnnealingLR(opt, T_max=7, eta_min=1e-3)
+    sched_j = CosineAnnealingLR(lr=0.1, t_max=7, eta_min=1e-3)
+    for epoch in range(14):
+        assert abs(opt.param_groups[0]["lr"] - sched_j.lr) < 1e-10, epoch
+        sched_t.step()
+        sched_j.epoch_end()
+
+
+def test_step_scheduler_matches_torch():
+    from tpu_unet.optim import StepLR
+
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.SGD([p], lr=0.5)
+    sched_t = torch.optim.lr_scheduler.StepLR(opt, step_size=3, gamma=0.2)
+    sched_j = StepLR(lr=0.5, step_size=3, gamma=0.2)
+    for epoch in range(10):
+        assert abs(opt.param_groups[0]["lr"] - sched_j.lr) < 1e-12, epoch
+        sched_t.step()
+        sched_j.epoch_end()
+
+
+def test_scheduler_state_roundtrip_continues_curve():
+    """state_dict/load_state_dict mid-run resumes the same curve (the
+    --resume contract train_model relies on)."""
+    from tpu_unet.optim import CosineAnnealingLR
+
+    a = CosineAnnealingLR(lr=0.1, t_max=5)
+    for _ in range(2):
+        a.epoch_end()
+    b = CosineAnnealingLR(lr=0.1, t_max=5)
+    b.load_state_dict(a.state_dict())
+    ref = CosineAnnealingLR(lr=0.1, t_max=5)
+    for _ in range(4):
+        ref.epoch_end()
+    for _ in range(2):
+        a.epoch_end()
+        b.epoch_end()
+    assert abs(a.lr - ref.lr) < 1e-15
+    assert abs(b.lr - ref.lr) < 1e-15

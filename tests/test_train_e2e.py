@@ -107,6 +107,54 @@ def test_optimizer_mismatch_resume_degrades_to_weights_only(carvana, tmp_path, c
     assert np.all(np.isfinite(hist["train_loss"]))
 
 
+def test_cosine_scheduler_e2e_and_resume(carvana, tmp_path):
+    """--lr-scheduler cosine through train_model: the checkpoint carries the
+    advanced schedule state (named, epoch-stepped), and --resume continues
+    the curve instead of restarting it."""
+    import math
+
+    from tpu_unet.checkpoint import read_checkpoint_meta
+
+    config = UNetConfig(3, 1, bilinear=True, base_channels=8)
+    params, state = init_unet(jax.random.PRNGKey(0), config)
+    ds = CarvanaDataset(carvana / "imgs", carvana / "masks", scale=1.0, num_workers=0)
+
+    base_lr = 1e-3
+    params, state, _ = train_model(
+        params, state, config,
+        dataset=ds, epochs=2, batch_size=2, learning_rate=base_lr,
+        lr_scheduler="cosine", val_percent=0.2,
+        checkpoint_dir=tmp_path / "ck", seed=0,
+    )
+    _, extra = read_checkpoint_meta(tmp_path / "ck" / "checkpoint_epoch2.npz")
+    sched = extra["scheduler"]
+    assert sched["name"] == "cosine"
+    assert sched["epoch"] == 2
+    # T_max = epochs = 2 → after 2 epoch_end()s lr sits at the floor (0).
+    expected = 0.5 * base_lr * (1 + math.cos(math.pi * 2 / 2))
+    assert abs(sched["lr"] - expected) < 1e-12
+
+    # Resume for one more epoch: the curve continues (epoch counter 3),
+    # not a fresh schedule.
+    p2, s2 = init_unet(jax.random.PRNGKey(1), config)
+    _, _, hist = train_model(
+        p2, s2, config, dataset=ds, epochs=3, batch_size=2,
+        learning_rate=base_lr, lr_scheduler="cosine",
+        resume=str(tmp_path / "ck" / "checkpoint_epoch2.npz"),
+        val_percent=0.2, checkpoint_dir=tmp_path / "ck2", seed=0,
+    )
+    _, extra3 = read_checkpoint_meta(tmp_path / "ck2" / "checkpoint_epoch3.npz")
+    assert extra3["scheduler"]["epoch"] == 3
+    # A plateau run resuming this checkpoint starts its schedule fresh.
+    p3, s3 = init_unet(jax.random.PRNGKey(2), config)
+    _, _, _ = train_model(
+        p3, s3, config, dataset=ds, epochs=3, batch_size=2,
+        learning_rate=base_lr, lr_scheduler="plateau",
+        resume=str(tmp_path / "ck" / "checkpoint_epoch2.npz"),
+        val_percent=0.2, save_checkpoint_flag=False, seed=0,
+    )
+
+
 def test_legacy_trainer_combo_one_step():
     """The legacy reference layout's recipe — SGD(momentum 0.9) + plain BCE
     (SURVEY.md §A.1) — through the fused step."""

@@ -9,6 +9,13 @@ from tpu_unet.optim.optimizers import (
     sgd_update,
 )
 from tpu_unet.optim.plateau import ReduceLROnPlateau
+from tpu_unet.optim.schedulers import (
+    SCHEDULERS,
+    ConstantLR,
+    CosineAnnealingLR,
+    StepLR,
+    get_scheduler,
+)
 from tpu_unet.optim.rmsprop import (
     RMSpropState,
     clip_grad_norm,
@@ -18,7 +25,12 @@ from tpu_unet.optim.rmsprop import (
 
 __all__ = [
     "OPTIMIZERS",
+    "SCHEDULERS",
     "AdamState",
+    "ConstantLR",
+    "CosineAnnealingLR",
+    "StepLR",
+    "get_scheduler",
     "ReduceLROnPlateau",
     "RMSpropState",
     "SGDState",

@@ -71,6 +71,11 @@ class ReduceLROnPlateau:
             self.num_bad_epochs = 0
         return self.lr
 
+    def epoch_end(self) -> float:
+        """Scheduler-menu interface (optim/schedulers.py): plateau reacts to
+        validation metrics, not epoch boundaries — no-op."""
+        return self.lr
+
     def state_dict(self) -> dict:
         return {
             "lr": self.lr,

@@ -53,7 +53,7 @@ from tpu_unet.data import (
 from tpu_unet.evaluate import evaluate
 from tpu_unet.losses import bce_with_logits, cross_entropy, dice_loss
 from tpu_unet.models import UNetConfig, init_unet, param_count, unet_apply
-from tpu_unet.optim import ReduceLROnPlateau, clip_grad_norm, get_optimizer
+from tpu_unet.optim import clip_grad_norm, get_optimizer, get_scheduler
 from tpu_unet.parallel.mesh import (
     batch_sharding, image_sharding, make_mesh, make_mesh_2d, replicated,
 )
@@ -283,6 +283,10 @@ def train_model(
     gradient_clipping: float = 1.0,
     optimizer: str = "rmsprop",
     dice_weight: float = 1.0,
+    lr_scheduler: str = "plateau",
+    lr_step_size: int = 10,
+    lr_gamma: float = 0.1,
+    lr_min: float = 0.0,
     remat: bool = False,
     data_parallel: bool = False,
     use_wandb: bool = False,
@@ -510,7 +514,13 @@ def train_model(
     opt_init, _ = get_optimizer(optimizer, weight_decay=weight_decay,
                                 momentum=momentum)
     opt_state = opt_init(params)
-    scheduler = ReduceLROnPlateau(lr=learning_rate, mode="max", patience=5)
+    # The reference's schedule is plateau-on-val-Dice (patience 5); the menu
+    # (optim/schedulers.py) adds epoch-stepped torch schedules. All feed the
+    # SAME traced lr scalar — schedule changes never recompile the step.
+    scheduler = get_scheduler(
+        lr_scheduler, learning_rate, epochs=epochs,
+        step_size=lr_step_size, gamma=lr_gamma, eta_min=lr_min,
+    )
     start_epoch = 1
     if resume:
         # Full-state resume (beyond-reference: the reference's --load restores
@@ -533,9 +543,21 @@ def train_model(
             opt_state = extra.pop("opt_state")
         start_epoch = int(extra.get("epoch", 0)) + 1
         if "scheduler" in extra:
-            # Full plateau state (best/num_bad_epochs/cooldown), so a resumed
-            # run neither forgets plateau progress nor re-triggers lr drops.
-            scheduler.load_state_dict(extra["scheduler"])
+            # Full schedule state (plateau: best/num_bad_epochs/cooldown;
+            # epoch schedules: base_lr/epoch), so a resumed run neither
+            # forgets plateau progress nor re-triggers lr drops. The saved
+            # name (missing in pre-menu checkpoints = plateau) must match
+            # the configured schedule; otherwise start the new schedule
+            # fresh rather than load mismatched fields.
+            sched_state = dict(extra["scheduler"])
+            saved_sched = sched_state.pop("name", "plateau")
+            if saved_sched == lr_scheduler:
+                scheduler.load_state_dict(sched_state)
+            else:
+                logger.warning(
+                    "Resume checkpoint used lr scheduler %r but this run "
+                    "uses %r — starting the schedule fresh at lr %g.",
+                    saved_sched, lr_scheduler, scheduler.lr)
         else:  # older checkpoints carry only the lr
             scheduler.lr = float(extra.get("lr", learning_rate))
         logger.info("Resumed from %s at epoch %d (lr %g)", resume, start_epoch, scheduler.lr)
@@ -741,7 +763,7 @@ def train_model(
             # re-runs it from its start (optimizer/scheduler state intact).
             extra={"epoch": epoch - 1, "step": global_step,
                    "lr": scheduler.lr, "interrupted": True,
-                   "scheduler": scheduler.state_dict(),
+                   "scheduler": {"name": lr_scheduler, **scheduler.state_dict()},
                    "optimizer": optimizer,
                    "config": config._asdict()},
             opt_state=opt_state,  # always included: resumability is the point
@@ -969,6 +991,11 @@ def train_model(
                 "Epoch %d finished, mean loss %f",
                 epoch, float(np.mean(epoch_losses)) if epoch_losses else float("nan"),
             )
+            # Epoch-stepped schedules (cosine/step) advance here — torch's
+            # scheduler.step()-at-epoch-end call point; plateau no-ops (it
+            # already reacted to val Dice above). The checkpoint below
+            # carries the advanced state, so --resume continues the curve.
+            scheduler.epoch_end()
             if save_checkpoint_flag and primary:  # one writer across hosts
                 checkpoint_dir.mkdir(parents=True, exist_ok=True)
                 # Async: fetch-to-host now, write on a background thread while
@@ -980,7 +1007,7 @@ def train_model(
                     # Self-describing checkpoints: loaders rebuild the exact
                     # model config (arch, classes, deep supervision, ...).
                     extra={"epoch": epoch, "lr": scheduler.lr,
-                           "scheduler": scheduler.state_dict(),
+                           "scheduler": {"name": lr_scheduler, **scheduler.state_dict()},
                            "optimizer": optimizer,
                            "config": config._asdict()},
                     opt_state=opt_state if save_optimizer else None,
@@ -1071,6 +1098,20 @@ def get_args(argv=None):
                              "reference adds it at 1.0); 0 trains on plain "
                              "BCE/CE — the LEGACY reference layout's loss "
                              "(SURVEY.md §A.1)")
+    parser.add_argument("--lr-scheduler",
+                        choices=["plateau", "cosine", "step", "constant"],
+                        default="plateau",
+                        help="LR schedule (optim/schedulers.py): the "
+                             "reference's ReduceLROnPlateau on val Dice "
+                             "(default), cosine annealing over the run, "
+                             "StepLR, or constant — torch-parity math, "
+                             "state rides the checkpoints for --resume")
+    parser.add_argument("--lr-step-size", type=int, default=10, metavar="E",
+                        help="StepLR period in epochs (--lr-scheduler step)")
+    parser.add_argument("--lr-gamma", type=float, default=0.1,
+                        help="StepLR decay factor (--lr-scheduler step)")
+    parser.add_argument("--lr-min", type=float, default=0.0,
+                        help="Cosine annealing floor (--lr-scheduler cosine)")
     parser.add_argument("--arch", choices=["unet", "unetpp", "attention"], default="unet",
                         help="Model family: classic U-Net (reference parity) or UNet++")
     parser.add_argument("--deep-supervision", action="store_true", default=False,
@@ -1296,6 +1337,10 @@ def main(argv=None):
             momentum=args.momentum,
             weight_decay=args.weight_decay,
             dice_weight=args.dice_weight,
+            lr_scheduler=args.lr_scheduler,
+            lr_step_size=args.lr_step_size,
+            lr_gamma=args.lr_gamma,
+            lr_min=args.lr_min,
             remat=remat,
             data_parallel=args.data_parallel,
             use_wandb=args.wandb,
