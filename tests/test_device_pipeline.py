@@ -96,3 +96,51 @@ def test_rgb_palette_mapping(rng):
     values = jnp.asarray([[0, 0, 0], [255, 0, 0]])
     idx = device_preprocess_masks(jnp.asarray(mask), values, out_h=8, out_w=8)
     assert idx[0, 0, 0] == 0 and idx[0, 7, 0] == 1
+
+
+def test_raw_u8_for_device_rejects_palette_and_16bit(rng):
+    """Eligibility gate for the device preprocess path (code-review r3):
+    palette ('P') and bilevel ('1') images decode to indices/bits, not
+    intensities — Pillow coerces their resampling to NEAREST, so the
+    device BICUBIC path would silently diverge from the host path. 16-bit
+    ('I') images violate the u8 fixed-point contract."""
+    from tpu_unet.data.device_pipeline import raw_u8_for_device
+
+    rgb = Image.fromarray(rng.integers(0, 255, (8, 8, 3), dtype=np.uint8))
+    gray = Image.fromarray(rng.integers(0, 255, (8, 8), dtype=np.uint8))
+    pal = rgb.convert("P")
+    bilevel = gray.convert("1")
+    i16 = Image.fromarray(rng.integers(0, 65535, (8, 8)).astype(np.int32), mode="I")
+
+    arr = raw_u8_for_device(rgb)
+    assert arr is not None and arr.shape == (8, 8, 3)
+    arr_g = raw_u8_for_device(gray)
+    assert arr_g is not None and arr_g.shape == (8, 8, 1)  # HWC'd
+    assert raw_u8_for_device(pal) is None
+    assert raw_u8_for_device(bilevel) is None
+    assert raw_u8_for_device(i16) is None
+
+
+def test_predict_device_preprocess_palette_falls_back_to_host(tmp_path, rng):
+    """predict --device-preprocess on a palette PNG must produce the SAME
+    mask as the host path (the bit-parity contract): the P-mode image takes
+    the host fallback instead of resampling palette indices."""
+    import jax
+
+    from tpu_unet.models import UNetConfig, init_unet
+    from tpu_unet.predict import predict_img
+
+    # P-mode decodes to ONE channel of palette indices on both paths (the
+    # reference's preprocess does no mode conversion either), so a
+    # 1-channel model is the configuration where a P image is consumable
+    # at all — and where the old device path silently BICUBIC-resampled
+    # indices while the host path NEAREST-resized.
+    config = UNetConfig(1, 1, bilinear=True, base_channels=8)
+    params, state = init_unet(jax.random.PRNGKey(0), config)
+    rgb = Image.fromarray(rng.integers(0, 255, (24, 32, 3), dtype=np.uint8))
+    pal = rgb.convert("P")
+
+    m_host = predict_img(params, state, config, pal, scale_factor=0.5)
+    m_dev = predict_img(params, state, config, pal, scale_factor=0.5,
+                        device_preprocess=True)
+    np.testing.assert_array_equal(np.asarray(m_host), np.asarray(m_dev))

@@ -60,7 +60,7 @@ def run(preset: str = "full", data_dir: str | None = None,
     from tpu_unet.train import train_model
 
     h, w, n_imgs, bc, batch, lr, epochs, floor, heldout_floor = PRESETS[preset]
-    if epochs_override:
+    if epochs_override is not None:
         # Budget experiments (report-only): the frozen gates are calibrated
         # on the preset budget, so overriding epochs blanks them.
         epochs = epochs_override

@@ -172,6 +172,25 @@ def _pil_nearest_indices(in_size: int, out_size: int):
     return np.clip(idx, 0, in_size - 1).astype(np.int32), oob
 
 
+def raw_u8_for_device(img) -> np.ndarray | None:
+    """Decoded uint8 HWC array if ``img`` is eligible for the device
+    preprocess path, else None (caller falls back to host PIL preprocess).
+
+    Eligible = 8-bit samples AND a mode whose array values are real
+    intensities. Palette ('P') and bilevel ('1') images decode to uint8
+    palette INDICES / bits, and Pillow silently coerces their resampling to
+    NEAREST — device-resampling those values as intensities would diverge
+    from the host path, breaking the bit-parity contract this path
+    advertises (predict.py / serve.py). Shared by both inference surfaces
+    so the fallback policy is single-sourced."""
+    arr = np.asarray(img)
+    if arr.dtype != np.uint8 or getattr(img, "mode", None) in ("P", "1"):
+        return None
+    if arr.ndim == 2:
+        arr = arr[..., None]
+    return arr
+
+
 @functools.partial(jax.jit, static_argnames=("out_h", "out_w"))
 def device_preprocess_images(images_u8: jax.Array, *, out_h: int, out_w: int) -> jax.Array:
     """uint8 [N,H,W,C] → float32 [N,out_h,out_w,C], PIL-BICUBIC bit-exact.

@@ -90,12 +90,13 @@ def predict_img(
     """
     x = None
     if device_preprocess:
-        from tpu_unet.data.device_pipeline import device_preprocess_images
+        from tpu_unet.data.device_pipeline import (
+            device_preprocess_images,
+            raw_u8_for_device,
+        )
 
-        arr = np.asarray(full_img)
-        if arr.dtype == np.uint8:
-            if arr.ndim == 2:
-                arr = arr[..., None]
+        arr = raw_u8_for_device(full_img)
+        if arr is not None:
             new_h, new_w = (int(scale_factor * arr.shape[0]),
                             int(scale_factor * arr.shape[1]))
             assert new_h > 0 and new_w > 0, \
@@ -103,8 +104,9 @@ def predict_img(
             x = device_preprocess_images(jnp.asarray(arr)[None],
                                          out_h=new_h, out_w=new_w)
         else:
-            logger.warning("non-8-bit image (%s): falling back to host "
-                           "preprocess", arr.dtype)
+            logger.warning("image not device-preprocessable (mode %s): "
+                           "falling back to host preprocess",
+                           getattr(full_img, "mode", "?"))
     if x is None:
         img = BasicDataset.preprocess(None, full_img, scale_factor, is_mask=False)
         x = jnp.asarray(img)[None]  # [1,H,W,C]

@@ -295,13 +295,14 @@ class BatchedPredictor:
             # Host does DECODE ONLY; the Pillow-bit-exact int32 resample +
             # /255 run on device (data/device_pipeline.py), so the mask is
             # bitwise the host path's while the per-request host CPU cost
-            # drops to the PNG/JPEG decode. Non-8-bit inputs (e.g. mode "I"
-            # 16-bit PNGs) fall back per request: the device resample's
-            # fixed-point math and 256-entry /255 table are u8 contracts.
-            arr = np.asarray(img)
-            if arr.dtype == np.uint8:
-                if arr.ndim == 2:
-                    arr = arr[..., None]
+            # drops to the PNG/JPEG decode. Ineligible inputs fall back per
+            # request (raw_u8_for_device: non-8-bit like mode "I" 16-bit
+            # PNGs, and palette/bilevel modes whose bytes aren't
+            # intensities — the device resample is a u8-intensity contract).
+            from tpu_unet.data.device_pipeline import raw_u8_for_device
+
+            arr = raw_u8_for_device(img)
+            if arr is not None:
                 new_h = int(self.scale * arr.shape[0])
                 new_w = int(self.scale * arr.shape[1])
                 if new_h <= 0 or new_w <= 0:
@@ -309,6 +310,9 @@ class BatchedPredictor:
                         "Scale is too small, resized images would have no pixel"
                     )
                 return arr
+            logger.warning("request image not device-preprocessable "
+                           "(mode %s): host preprocess for this request",
+                           getattr(img, "mode", "?"))
         if self.static_hw is not None:
             # Artifact mode: the compiled program has one static input shape —
             # resize straight to it (BICUBIC, preprocess parity) and normalize.

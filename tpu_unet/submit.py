@@ -130,10 +130,12 @@ def main(argv=None):
     p.add_argument("--bilinear", action="store_true")
     p.add_argument("--tta", action="store_true", default=False,
                    help="Flip-ensemble test-time augmentation")
-    p.add_argument("--tta-mode", choices=["flips", "hflip"], default="hflip",
-                   help="TTA view set (default hflip: Carvana studio shots "
-                        "have a gravity axis — vertical flips are out-of-"
-                        "distribution)")
+    p.add_argument("--tta-mode", choices=["flips", "hflip"], default="flips",
+                   help="TTA view set: all four flips (default — matches "
+                        "predict --tta bit-for-bit), or identity+left-right "
+                        "only (recommended for Carvana-like studio shots: "
+                        "the gravity axis makes vertical flips out-of-"
+                        "distribution, BENCH_NOTES r3)")
     p.add_argument("--batch-size", "-b", type=int, default=8,
                    help="Images per batched forward (grouped by "
                         "shape; partial groups zero-padded so one "

@@ -321,6 +321,15 @@ def train_model(
             raise ValueError("--zero requires --data-parallel")
         if kernels == "pallas":
             raise ValueError("--zero requires the XLA backend")
+        if jax.process_count() > 1:
+            # The sharded fp32 state spans non-addressable devices under
+            # multi-host, so checkpointing (device_get in
+            # AsyncCheckpointer.save — incl. the unconditional interrupt
+            # save) cannot fetch it; reject up front instead of dying at
+            # the first save.
+            raise ValueError("--zero is single-host for now (sharded "
+                             "optimizer state cannot be fetched for "
+                             "checkpointing across processes)")
         if tensor_parallel > 1:
             raise ValueError("--zero is redundant with --tensor-parallel "
                              "(tp already shards the optimizer state)")
@@ -581,7 +590,8 @@ def train_model(
             opt_state = shard_opt_state(mesh, opt_state, params)
         elif zero:
             # ZeRO-1: fp32 state 1/N per chip, one all-gathered param delta
-            # per step (parallel/zero.py); bitwise the replicated update.
+            # per step (parallel/zero.py); matches the replicated update
+            # to fp32 round-off (the reduce-scatter regroups reductions).
             from tpu_unet.parallel.zero import (
                 shard_opt_state_zero, zero_opt_shardings,
             )
