@@ -230,3 +230,23 @@ def test_scheduler_state_roundtrip_continues_curve():
         b.epoch_end()
     assert abs(a.lr - ref.lr) < 1e-15
     assert abs(b.lr - ref.lr) < 1e-15
+
+
+def test_nesterov_through_menu_and_guard(rng):
+    """get_optimizer threads nesterov to SGD and rejects it elsewhere
+    (torch.optim raises for non-SGD nesterov too)."""
+    w0 = rng.standard_normal((3, 3), dtype=np.float32)
+    p_t = torch.nn.Parameter(torch.from_numpy(w0.copy()))
+    opt_t = torch.optim.SGD([p_t], lr=1e-2, momentum=0.9, nesterov=True)
+    init, update = get_optimizer("sgd", weight_decay=0.0, nesterov=True)
+    params = {"w": jnp.asarray(w0)}
+    state = init(params)
+    for _ in range(4):
+        g = rng.standard_normal((3, 3), dtype=np.float32)
+        p_t.grad = torch.from_numpy(g.copy())
+        opt_t.step()
+        params, state = update({"w": jnp.asarray(g)}, state, params, 1e-2)
+    np.testing.assert_allclose(np.asarray(params["w"]), p_t.detach().numpy(),
+                               atol=1e-6, rtol=1e-5)
+    with pytest.raises(ValueError, match="nesterov"):
+        get_optimizer("adam", nesterov=True)

@@ -154,13 +154,17 @@ def get_optimizer(
     *,
     weight_decay: float = 1e-8,
     momentum: float | None = None,
+    nesterov: bool = False,
 ) -> tuple[Callable[[Any], Any], Callable[..., tuple[Any, Any]]]:
     """Resolve an optimizer name to ``(init_fn, update_fn)``.
 
     ``momentum`` None takes the per-optimizer default (0.999 for RMSprop —
     the reference's value; 0.9 for SGD — the legacy reference's, SURVEY.md
-    §A.1). Adam/AdamW ignore it (betas stay at torch defaults).
+    §A.1). Adam/AdamW ignore it (betas stay at torch defaults); ``nesterov``
+    applies to SGD only (torch raises for the others too).
     """
+    if nesterov and name != "sgd":
+        raise ValueError("nesterov momentum is an SGD option")
     if name == "rmsprop":
         mom = 0.999 if momentum is None else momentum
         return rmsprop_init, functools.partial(
@@ -169,7 +173,8 @@ def get_optimizer(
     if name == "sgd":
         mom = 0.9 if momentum is None else momentum
         return sgd_init, functools.partial(
-            sgd_update, weight_decay=weight_decay, momentum=mom
+            sgd_update, weight_decay=weight_decay, momentum=mom,
+            nesterov=nesterov,
         )
     if name == "adam":
         return adam_init, functools.partial(

@@ -128,6 +128,7 @@ def make_train_step(
     vmem_limit_kib: int | None = None,
     opt_shardings=None,
     optimizer: str = "rmsprop",
+    nesterov: bool = False,
     dice_weight: float = 1.0,
 ):
     """Build the single fused train step: fwd+loss+bwd+clip+optimizer.
@@ -174,7 +175,8 @@ def make_train_step(
     compute_dtype = jnp.bfloat16 if amp else None
     axis_name = "data" if mesh is not None else None
     _, opt_update = get_optimizer(
-        optimizer, weight_decay=weight_decay, momentum=momentum
+        optimizer, weight_decay=weight_decay, momentum=momentum,
+        nesterov=nesterov,
     )
 
     def grads_and_loss(params, bn_state, images, masks):
@@ -282,6 +284,7 @@ def train_model(
     momentum: float | None = None,
     gradient_clipping: float = 1.0,
     optimizer: str = "rmsprop",
+    nesterov: bool = False,
     dice_weight: float = 1.0,
     lr_scheduler: str = "plateau",
     lr_step_size: int = 10,
@@ -521,7 +524,7 @@ def train_model(
     )
 
     opt_init, _ = get_optimizer(optimizer, weight_decay=weight_decay,
-                                momentum=momentum)
+                                momentum=momentum, nesterov=nesterov)
     opt_state = opt_init(params)
     # The reference's schedule is plateau-on-val-Dice (patience 5); the menu
     # (optim/schedulers.py) adds epoch-stepped torch schedules. All feed the
@@ -631,7 +634,7 @@ def train_model(
             momentum=momentum, grad_clip=gradient_clipping,
             kernels=kernels, mesh=step_mesh, accum_steps=accum_steps,
             vmem_limit_kib=vmem_limit_kib, opt_shardings=opt_shardings,
-            optimizer=optimizer, dice_weight=dice_weight,
+            optimizer=optimizer, nesterov=nesterov, dice_weight=dice_weight,
         )
 
     # W&B histograms (5×/epoch) get their own compiled step instead of
@@ -1095,6 +1098,8 @@ def get_args(argv=None):
                              "beyond-reference). Composes with --zero/"
                              "--tensor-parallel; --pipeline-parallel is "
                              "RMSprop-only")
+    parser.add_argument("--nesterov", action="store_true", default=False,
+                        help="Nesterov momentum (--optimizer sgd only)")
     parser.add_argument("--momentum", type=float, default=None,
                         help="Momentum override (default: 0.999 for rmsprop "
                              "— the reference's value — and 0.9 for sgd; "
@@ -1344,6 +1349,7 @@ def main(argv=None):
             val_percent=args.val / 100,
             amp=args.amp,
             optimizer=args.optimizer,
+            nesterov=args.nesterov,
             momentum=args.momentum,
             weight_decay=args.weight_decay,
             dice_weight=args.dice_weight,
