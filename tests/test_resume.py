@@ -73,7 +73,10 @@ def test_checkpoint_carries_scheduler_state(tmp_path):
 
     _, extra = read_checkpoint_meta(ck / "checkpoint_epoch1.npz")
     sd = extra["scheduler"]
-    assert set(sd) == {"lr", "best", "num_bad_epochs", "cooldown_counter"}
+    # "name" self-describes the schedule (the --lr-scheduler menu) so resume
+    # can detect a schedule switch; the rest is the full plateau state.
+    assert set(sd) == {"name", "lr", "best", "num_bad_epochs", "cooldown_counter"}
+    assert sd["name"] == "plateau"
 
 
 def test_plateau_load_state_dict_resumes_progress():

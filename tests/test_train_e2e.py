@@ -107,6 +107,25 @@ def test_optimizer_mismatch_resume_degrades_to_weights_only(carvana, tmp_path, c
     assert np.all(np.isfinite(hist["train_loss"]))
 
 
+def test_early_stopping_halts_run(carvana, tmp_path):
+    """--early-stopping N: with lr=0 the val Dice never improves after the
+    first validation, so N=1 stops at the second one — mid-epoch-1 of a
+    3-epoch run, with exactly one (final) checkpoint written."""
+    config = UNetConfig(3, 1, bilinear=True, base_channels=8)
+    params, state = init_unet(jax.random.PRNGKey(0), config)
+    ds = CarvanaDataset(carvana / "imgs", carvana / "masks", scale=1.0, num_workers=0)
+
+    _, _, hist = train_model(
+        params, state, config,
+        dataset=ds, epochs=3, batch_size=2, learning_rate=0.0,
+        val_percent=0.2, val_per_epoch=4, early_stopping=1,
+        checkpoint_dir=tmp_path / "ck", seed=0,
+    )
+    assert len(hist["val_dice"]) == 2  # first sets best, second stops
+    assert (tmp_path / "ck" / "checkpoint_epoch1.npz").exists()
+    assert not (tmp_path / "ck" / "checkpoint_epoch2.npz").exists()
+
+
 def test_cosine_scheduler_e2e_and_resume(carvana, tmp_path):
     """--lr-scheduler cosine through train_model: the checkpoint carries the
     advanced schedule state (named, epoch-stepped), and --resume continues

@@ -309,6 +309,7 @@ def train_model(
     vmem_limit_kib: int | None = None,
     val_per_epoch: int = 5,
     zero: bool = False,
+    early_stopping: int | None = None,
 ):
     """The reference's train_model, TPU-native. Returns (params, bn_state, history)."""
     if accum_steps > 1 and batch_size % accum_steps:
@@ -794,6 +795,12 @@ def train_model(
         return path
 
     interrupted = False
+    # Early stopping (beyond-reference): stop after N consecutive
+    # validations without val-Dice improvement. val_dice is identical on
+    # every process (the sharded eval returns a replicated scalar), so the
+    # decision is synchronized under --multihost with no broadcast.
+    early_stopped = False
+    es_best, es_bad = -float("inf"), 0
     epoch = start_epoch  # defined even if the loop body never runs
     last_epoch = start_epoch - 1
 
@@ -888,6 +895,17 @@ def train_model(
                     history["val_dice"].append(val_dice)
                     history["lr"].append(lr_now)
                     logger.info("Validation Dice score: %f (IoU %f)", val_dice, val_iou)
+                    if early_stopping is not None:
+                        if val_dice > es_best:
+                            es_best, es_bad = val_dice, 0
+                        else:
+                            es_bad += 1
+                            if es_bad >= early_stopping:
+                                early_stopped = True
+                                logger.info(
+                                    "Early stopping: no val Dice improvement "
+                                    "in %d validations (best %.4f)",
+                                    early_stopping, es_best)
                     if ema_params is not None:
                         # The shadow weights' own validation (same sharded
                         # path; runs on every host under --multihost).
@@ -982,7 +1000,7 @@ def train_model(
 
                         interrupted = bool(multihost_utils.broadcast_one_to_all(
                             np.int32(1 if stop_requested["set"] else 0)))
-                if interrupted:
+                if interrupted or early_stopped:
                     break
 
             if pbar:
@@ -1044,6 +1062,12 @@ def train_model(
                     # so the async write of THIS epoch is never raced.
                     _prune_checkpoints(checkpoint_dir, epoch, keep_checkpoints)
             last_epoch = epoch
+            if early_stopped:
+                # The per-epoch checkpoint above already holds the final
+                # weights (the stop happened at a validation inside this
+                # epoch, so the epoch is partial — logged, not hidden).
+                logger.info("Stopped early during epoch %d.", epoch)
+                break
     finally:
         # Always restore the caller's handlers: a leaked no-op SIGTERM
         # handler would make the process un-stoppable afterwards.
@@ -1194,6 +1218,12 @@ def get_args(argv=None):
     parser.add_argument("--checkpoint-dir", type=str, default=str(dir_checkpoint))
     parser.add_argument("--data-dir", type=str, default="./data")
     parser.add_argument("--wandb", action="store_true", default=False, help="Enable W&B logging (offline by default)")
+    parser.add_argument("--early-stopping", type=int, default=None, metavar="N",
+                        help="Stop training after N consecutive validations "
+                             "without val-Dice improvement (beyond-"
+                             "reference; decision is identical on every "
+                             "host, the final per-epoch checkpoint holds "
+                             "the stopping weights)")
     parser.add_argument("--val-per-epoch", type=int, default=5, metavar="N",
                         help="Validation cadence: N times per epoch "
                              "(reference hardcodes 5). Plateau scheduling, "
@@ -1374,6 +1404,7 @@ def main(argv=None):
             accum_steps=args.accum_steps,
             ema_decay=args.ema_decay,
             val_per_epoch=args.val_per_epoch,
+            early_stopping=args.early_stopping,
             vmem_limit_kib=(args.vmem_limit_mb * 1024
                             if (args.vmem_limit_mb
                                 and jax.default_backend() != "cpu") else None),
