@@ -1,0 +1,136 @@
+"""R2U-Net model family (arXiv:1802.06955): structure, recurrence, training,
+CLI + self-describing checkpoint surface."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from tpu_unet.models import UNetConfig, init_unet, param_count, unet_apply
+
+CONFIG = UNetConfig(3, 2, bilinear=True, base_channels=8, arch="r2u")
+
+
+def test_r2u_forward_shapes_both_decoders():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 48, 32, 3), dtype=np.float32))
+    for bilinear in (True, False):
+        config = CONFIG._replace(bilinear=bilinear)
+        params, state = init_unet(jax.random.PRNGKey(0), config)
+        logits, new_state = unet_apply(params, state, x, config=config,
+                                       train=True)
+        assert logits.shape == (2, 48, 32, 2)
+        assert logits.dtype == jnp.float32
+        # Every block is an RRCNN: two shared recurrent units, one BN each.
+        for k in ("inc", "down1", "down4"):
+            assert set(new_state[k]) == {"rec1", "rec2"}
+
+
+def test_r2u_odd_sizes():
+    params, state = init_unet(jax.random.PRNGKey(0), CONFIG)
+    x = jnp.asarray(
+        np.random.default_rng(1).standard_normal((1, 59, 41, 3),
+                                                 dtype=np.float32))
+    logits, _ = unet_apply(params, state, x, config=CONFIG, train=False)
+    assert logits.shape == (1, 59, 41, 2)
+
+
+def test_r2u_recurrence_depth_matters_weights_shared():
+    """recur_t changes the function (t=1 vs t=2 logits differ) WITHOUT
+    changing the parameter tree — the recurrent unit's weights are shared
+    across applications, which is the point of the architecture."""
+    params, state = init_unet(jax.random.PRNGKey(0), CONFIG)
+    p1, _ = init_unet(jax.random.PRNGKey(0), CONFIG._replace(recur_t=1))
+    assert param_count(params) == param_count(p1)
+    x = jnp.asarray(
+        np.random.default_rng(2).standard_normal((1, 32, 32, 3),
+                                                 dtype=np.float32))
+    y2, _ = unet_apply(params, state, x, config=CONFIG, train=True)
+    y1, _ = unet_apply(params, state, x, config=CONFIG._replace(recur_t=1),
+                       train=True)
+    assert float(jnp.abs(y2 - y1).max()) > 1e-6
+    # Poking the ONE shared conv changes the output (there is no second
+    # per-application weight to mask the edit).
+    poked = jax.tree.map(lambda p: p, params)
+    poked["inc"]["rec1"]["conv"]["w"] = poked["inc"]["rec1"]["conv"]["w"] + 0.1
+    yp, _ = unet_apply(poked, state, x, config=CONFIG, train=True)
+    assert float(jnp.abs(yp - y2).max()) > 1e-6
+
+
+def test_r2u_train_step_and_remat():
+    from tpu_unet.optim import rmsprop_init
+    from tpu_unet.train import make_train_step
+
+    config = UNetConfig(3, 1, bilinear=True, base_channels=8, arch="r2u")
+    params, state = init_unet(jax.random.PRNGKey(0), config)
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.random((2, 32, 32, 3), dtype=np.float32))
+    masks = jnp.asarray((rng.random((2, 32, 32)) > 0.5).astype(np.int32))
+    copy = lambda t: jax.tree.map(jnp.array, t)
+
+    losses = {}
+    for remat in (False, True):
+        step = make_train_step(config, remat=remat)
+        _, _, _, loss, _ = step(copy(params), copy(state),
+                                rmsprop_init(params), imgs, masks,
+                                jnp.float32(1e-3))
+        losses[remat] = float(loss)
+    assert np.isfinite(losses[False]) and losses[False] > 0
+    # remat recomputes, it must not change the math.
+    np.testing.assert_allclose(losses[True], losses[False], rtol=1e-6)
+
+
+def test_r2u_cli_train_predict_roundtrip(tmp_path):
+    """--arch r2u end-to-end: train CLI writes a self-describing checkpoint
+    (arch + recur_t in extra['config']); predict rebuilds the exact model
+    from it with no arch flags."""
+    import sys
+
+    from tpu_unet.data import make_synthetic_carvana
+    from tpu_unet.predict import main as predict_main
+    from tpu_unet.train import main as train_main
+
+    make_synthetic_carvana(tmp_path / "d", n=6, h=32, w=32)
+    argv = sys.argv
+    try:
+        sys.argv = ["train", "-e", "1", "-b", "2", "-l", "1e-3", "-s", "1.0",
+                    "--arch", "r2u", "--recur-t", "3",
+                    "--data-dir", str(tmp_path / "d"),
+                    "--checkpoint-dir", str(tmp_path / "ck")]
+        train_main()
+        from tpu_unet.checkpoint import read_checkpoint_meta
+
+        _, extra = read_checkpoint_meta(tmp_path / "ck" / "checkpoint_epoch1.npz")
+        assert extra["config"]["arch"] == "r2u"
+        assert extra["config"]["recur_t"] == 3
+        out = tmp_path / "out.png"
+        sys.argv = ["predict", "-m", str(tmp_path / "ck" / "checkpoint_epoch1.npz"),
+                    "-i", str(tmp_path / "d" / "imgs" / "car_0000.png"),
+                    "-o", str(out), "-s", "1.0"]
+        predict_main()
+        assert out.exists()
+    finally:
+        sys.argv = argv
+
+
+def test_r2u_tiler_receptive_field_guard():
+    """R2U's RRCNN blocks apply 2·(t+1) 3x3 convs per level, so its
+    receptive field outgrows the default 128 halo — the tiler must refuse
+    (tiled_forward) or bump-and-warn (predict wrappers) instead of
+    silently mis-stitching."""
+    import pytest
+
+    from tpu_unet.parallel.tiling import DEFAULT_HALO, min_halo, tiled_forward
+
+    flagship = UNetConfig(3, 1, bilinear=True, base_channels=8)
+    assert min_halo(flagship) == DEFAULT_HALO
+    r2u = flagship._replace(arch="r2u")
+    need = min_halo(r2u)
+    assert need > DEFAULT_HALO and need % 16 == 0
+    assert min_halo(r2u._replace(recur_t=3)) > need  # grows with t
+
+    params, state = init_unet(jax.random.PRNGKey(0), r2u)
+    x = jnp.zeros((1, 512, 512, 3), jnp.float32)
+    with pytest.raises(ValueError, match="exactness requirement"):
+        tiled_forward(params, state, x, config=r2u, tile=128,
+                      halo=DEFAULT_HALO)

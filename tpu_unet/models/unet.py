@@ -55,9 +55,10 @@ class UNetConfig(NamedTuple):
     bilinear: bool = False
     base_channels: int = 64
     # "unet" (reference parity) | "unetpp" (models/unetpp.py) |
-    # "attention" (models/attention_unet.py)
+    # "attention" (models/attention_unet.py) | "r2u" (models/r2u_unet.py)
     arch: str = "unet"
     deep_supervision: bool = False  # unetpp only: per-column heads, averaged
+    recur_t: int = 2  # r2u only: recurrence depth of each shared conv unit
     # MFU experiment (ops/s2d.py): compute the two full-resolution C=64
     # DoubleConv levels (inc, up4) in 2×2 space-to-depth form — same math,
     # 4× deeper MXU contraction, 1.78× the MACs. Numerics-equivalent
@@ -108,6 +109,10 @@ def init_unet(
         from tpu_unet.models.attention_unet import init_attention_unet
 
         return init_attention_unet(key, config, dtype)
+    if config.arch == "r2u":
+        from tpu_unet.models.r2u_unet import init_r2u_unet
+
+        return init_r2u_unet(key, config, dtype)
     c = config.base_channels
     factor = 2 if config.bilinear else 1
     keys = jax.random.split(key, 10)
@@ -234,7 +239,7 @@ def unet_apply(
     step in shard_map and passes axis_name — the fused path then psums its
     stat sums for global-batch BN semantics.
     """
-    if config.arch in ("unetpp", "attention"):
+    if config.arch in ("unetpp", "attention", "r2u"):
         if kernels:
             # Refuse rather than silently run XLA: the fused Pallas tier is
             # wired for the flagship U-Net's block layout only, and a user
@@ -247,6 +252,14 @@ def unet_apply(
             from tpu_unet.models.unetpp import unetpp_apply
 
             return unetpp_apply(
+                params, state, x, config=config, train=train,
+                compute_dtype=compute_dtype, remat=remat,
+                axis_name=axis_name,
+            )
+        if config.arch == "r2u":
+            from tpu_unet.models.r2u_unet import r2u_unet_apply
+
+            return r2u_unet_apply(
                 params, state, x, config=config, train=train,
                 compute_dtype=compute_dtype, remat=remat,
                 axis_name=axis_name,

@@ -50,6 +50,24 @@ logger = logging.getLogger(__name__)
 DEFAULT_HALO = 128
 
 
+def min_halo(config: UNetConfig) -> int:
+    """Smallest halo for which the exactness contract holds for ``config``.
+
+    The 110 px one-sided receptive field (and the 128 default above) was
+    derived and measured for blocks of TWO 3x3 convs per level (flagship
+    U-Net; Attention U-Net's extra 1x1 gates and UNet++'s nested
+    DoubleConvs along the same pooling pyramid add no stride-weighted 3x3
+    depth beyond what 128 covers — both are exactness-tested at 128).
+    R2U-Net's RRCNN blocks apply 2·(t+1) 3x3 convs per level, scaling the
+    stride-weighted RF by ≈(t+1): halo must grow with it or the stitched
+    output silently diverges from the full-image forward near window
+    borders."""
+    if config.arch == "r2u":
+        rf = 110 * (config.recur_t + 1)
+        return (rf + 18 + 15) // 16 * 16  # same 18 px margin, 16-aligned
+    return DEFAULT_HALO
+
+
 def _check_alignment(h, w, tile, halo):
     for name, v in (("H", h), ("W", w), ("tile", tile), ("halo", halo)):
         if v % 16 != 0:
@@ -137,6 +155,12 @@ def tiled_forward(
     which is what lets 2048²+ inputs run on one chip (only the input image
     and the logits are image-sized residents)."""
     _check_alignment(x.shape[1], x.shape[2], tile, halo)
+    need = min_halo(config)
+    if halo < need:
+        raise ValueError(
+            f"halo={halo} is below the exactness requirement for "
+            f"arch={config.arch!r} (receptive field needs >= {need}); "
+            "raise --halo or use full-image inference")
     return _tiled_forward_jit(
         params, state, x, config=config, tile=tile, halo=halo, amp=amp,
         window_batch=window_batch,
@@ -274,6 +298,15 @@ def predict_img_tiled(
         x = tta_views(x, tta_mode)
     h, w = x.shape[1], x.shape[2]
     ph, pw = padded_hw(h, w)
+    need = min_halo(config)
+    if halo < need:
+        # Arch-aware exactness guard: a too-small halo would SILENTLY
+        # mis-stitch (values near window borders diverge from the
+        # full-image forward) — bump it and say so instead.
+        logger.warning(
+            "tiled predict: halo %d is below arch=%r's receptive-field "
+            "requirement — using halo=%d", halo, config.arch, need)
+        halo = need
     if tile + 2 * halo > min(ph, pw):
         # Too small even after 16-padding: the exactness contract is
         # unavailable — full-image forward, SAID OUT LOUD (the halo-sharded

@@ -183,7 +183,7 @@ def predict_img_halo_sharded(
     size, or bands too short for the halo). ``tta`` rides as batch rows of
     the same sharded program (flip views don't change H/W alignment)."""
     from tpu_unet.parallel.mesh import make_mesh
-    from tpu_unet.parallel.tiling import DEFAULT_HALO, make_halo_sharded_forward
+    from tpu_unet.parallel.tiling import make_halo_sharded_forward, min_halo
 
     img = BasicDataset.preprocess(None, full_img, scale_factor, is_mask=False)
     x = jnp.asarray(img)[None]
@@ -191,7 +191,8 @@ def predict_img_halo_sharded(
     d = jax.device_count()
     band = h // d if d else 0
     full_w, full_h = full_img.size
-    if d < 2 or h % (16 * d) or w % 16 or band < 2 * DEFAULT_HALO:
+    halo = min_halo(config)  # arch-aware (r2u's RF outgrows the default 128)
+    if d < 2 or h % (16 * d) or w % 16 or band < 2 * halo:
         logger.warning(
             "halo-sharded constraints not met (devices=%d, H=%d, W=%d) — "
             "falling back to single-device forward", d, h, w,
@@ -202,7 +203,7 @@ def predict_img_halo_sharded(
         )
     else:
         mesh = make_mesh(axis="spatial")
-        fwd = make_halo_sharded_forward(mesh, config, halo=DEFAULT_HALO, amp=amp)
+        fwd = make_halo_sharded_forward(mesh, config, halo=halo, amp=amp)
         if tta:
             from tpu_unet.models.tta import tta_merge, tta_views
 
@@ -256,7 +257,7 @@ def get_args(argv=None):
     parser.add_argument("--tile-sharded", action="store_true", default=False,
                         help="Shard image bands across all devices with ICI halo "
                              "exchange (large images, multi-chip)")
-    parser.add_argument("--arch", choices=["unet", "unetpp", "attention"], default="unet",
+    parser.add_argument("--arch", choices=["unet", "unetpp", "attention", "r2u"], default="unet",
                         help="Model family the checkpoint was trained with")
     parser.add_argument("--crf", action="store_true", default=False,
                         help="Mean-field CRF refinement of the probabilities "

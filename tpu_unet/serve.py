@@ -217,7 +217,17 @@ class BatchedPredictor:
             # group when the preprocessed shape meets the exactness contract
             # (16-aligned, >= tile + 2·halo); smaller images keep the
             # full-image forward. Mode exclusivity checked above.
-            from tpu_unet.parallel.tiling import tiled_forward_padded
+            from tpu_unet.parallel.tiling import min_halo, tiled_forward_padded
+
+            need = min_halo(config)
+            if halo < need:
+                # Same arch-aware exactness bump as predict --tile: halo 128
+                # under-covers r2u's receptive field, and a raise here at
+                # startup beats per-request 500s later.
+                logger.warning("serve --tile: halo %d below arch=%r "
+                               "requirement — using halo=%d",
+                               halo, config.arch, need)
+                halo = self.halo = need
 
             def fwd_tiled(x):
                 if tta:
@@ -700,7 +710,7 @@ def main(argv=None):
                         ".jaxexp artifacts that carry no mask_values")
     p.add_argument("--classes", "-c", type=int, default=1)
     p.add_argument("--bilinear", action="store_true")
-    p.add_argument("--arch", choices=["unet", "unetpp", "attention"], default="unet")
+    p.add_argument("--arch", choices=["unet", "unetpp", "attention", "r2u"], default="unet")
     p.add_argument("--amp", action=argparse.BooleanOptionalAction, default=True,
                    help="bf16 inference (default on; --no-amp for fp32)")
     p.add_argument("--max-batch", type=int, default=8)

@@ -1151,8 +1151,11 @@ def get_args(argv=None):
                         help="StepLR decay factor (--lr-scheduler step)")
     parser.add_argument("--lr-min", type=float, default=0.0,
                         help="Cosine annealing floor (--lr-scheduler cosine)")
-    parser.add_argument("--arch", choices=["unet", "unetpp", "attention"], default="unet",
+    parser.add_argument("--arch", choices=["unet", "unetpp", "attention", "r2u"], default="unet",
                         help="Model family: classic U-Net (reference parity) or UNet++")
+    parser.add_argument("--recur-t", type=int, default=2, metavar="T",
+                        help="r2u only: recurrence depth of each shared "
+                             "conv unit (arXiv:1802.06955 uses t=2)")
     parser.add_argument("--deep-supervision", action="store_true", default=False,
                         help="UNet++ only: per-column output heads, averaged")
     parser.add_argument("--data-parallel", action="store_true", default=False,
@@ -1325,6 +1328,7 @@ def main(argv=None):
     config = UNetConfig(
         n_channels=3, n_classes=args.classes, bilinear=args.bilinear,
         arch=args.arch, deep_supervision=args.deep_supervision,
+        recur_t=args.recur_t,
     )
     logger.info(
         "Network:\n\t%d input channels\n\t%d output channels (classes)\n\t%s upscaling",
