@@ -514,7 +514,10 @@ def train_model(
             experiment = wandb.init(project="U-Net", resume="allow", anonymous="must")
             experiment.config.update(
                 dict(epochs=epochs, batch_size=batch_size, learning_rate=learning_rate,
-                     val_percent=val_percent, amp=amp)
+                     val_percent=val_percent, amp=amp,
+                     # Beyond-reference knobs, so runs stay comparable:
+                     optimizer=optimizer, lr_scheduler=lr_scheduler,
+                     dice_weight=dice_weight, arch=config.arch)
             )
         except Exception as e:  # wandb genuinely optional (no network here)
             logger.warning("wandb unavailable (%s); continuing without it", e)
