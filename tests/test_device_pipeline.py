@@ -119,6 +119,10 @@ def test_raw_u8_for_device_rejects_palette_and_16bit(rng):
     assert raw_u8_for_device(pal) is None
     assert raw_u8_for_device(bilevel) is None
     assert raw_u8_for_device(i16) is None
+    # Alpha modes are u8 but Pillow PREMULTIPLIES alpha before resampling
+    # (measured 0.2-0.3 divergence) — they must fall back too.
+    assert raw_u8_for_device(rgb.convert("RGBA")) is None
+    assert raw_u8_for_device(gray.convert("LA")) is None
 
 
 def test_predict_device_preprocess_palette_falls_back_to_host(tmp_path, rng):

@@ -212,6 +212,24 @@ def test_step_scheduler_matches_torch():
         sched_j.epoch_end()
 
 
+def test_cosine_state_carries_t_max_across_resume():
+    """Restoring into a scheduler built with a DIFFERENT t_max (a resumed
+    run passing a different --epochs) must continue the SAVED curve."""
+    from tpu_unet.optim import CosineAnnealingLR
+
+    a = CosineAnnealingLR(lr=0.1, t_max=10)
+    for _ in range(4):
+        a.epoch_end()
+    b = CosineAnnealingLR(lr=0.1, t_max=12)  # new run: --epochs 12
+    b.load_state_dict(a.state_dict())
+    assert b.t_max == 10
+    ref = CosineAnnealingLR(lr=0.1, t_max=10)
+    for _ in range(5):
+        ref.epoch_end()
+    b.epoch_end()
+    assert abs(b.lr - ref.lr) < 1e-15
+
+
 def test_scheduler_state_roundtrip_continues_curve():
     """state_dict/load_state_dict mid-run resumes the same curve (the
     --resume contract train_model relies on)."""

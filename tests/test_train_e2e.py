@@ -126,6 +126,42 @@ def test_early_stopping_halts_run(carvana, tmp_path):
     assert not (tmp_path / "ck" / "checkpoint_epoch2.npz").exists()
 
 
+def test_early_stopping_state_resumes(carvana, tmp_path):
+    """The patience bookkeeping rides checkpoints: a run that banked one bad
+    validation resumes with that counter, so --early-stopping 2 stops at the
+    FIRST post-resume validation instead of restarting the count
+    (code-review r3)."""
+    import pytest
+
+    from tpu_unet.checkpoint import read_checkpoint_meta
+
+    config = UNetConfig(3, 1, bilinear=True, base_channels=8)
+    params, state = init_unet(jax.random.PRNGKey(0), config)
+    ds = CarvanaDataset(carvana / "imgs", carvana / "masks", scale=1.0, num_workers=0)
+
+    # lr=0: first validation sets best, every later one is "no improvement".
+    common = dict(dataset=ds, batch_size=2, learning_rate=0.0,
+                  val_percent=0.2, val_per_epoch=2, early_stopping=2, seed=0)
+    params, state, h1 = train_model(
+        params, state, config, epochs=1,
+        checkpoint_dir=tmp_path / "ck", **common)
+    ck = tmp_path / "ck" / "checkpoint_epoch1.npz"
+    _, extra = read_checkpoint_meta(ck)
+    assert extra["early_stop"]["bad"] == 1  # one bad validation banked
+
+    p2, s2 = init_unet(jax.random.PRNGKey(1), config)
+    _, _, h2 = train_model(
+        p2, s2, config, epochs=3, resume=str(ck),
+        save_checkpoint_flag=False, **common)
+    # One more non-improving validation (the 2nd overall) stops the run.
+    assert len(h2["val_dice"]) == 1
+
+    with pytest.raises(ValueError, match="early-stopping"):
+        train_model(p2, s2, config, epochs=1, save_checkpoint_flag=False,
+                    dataset=ds, batch_size=2, learning_rate=0.0,
+                    val_percent=0.2, early_stopping=0, seed=0)
+
+
 def test_cosine_scheduler_e2e_and_resume(carvana, tmp_path):
     """--lr-scheduler cosine through train_model: the checkpoint carries the
     advanced schedule state (named, epoch-stepped), and --resume continues

@@ -176,15 +176,16 @@ def raw_u8_for_device(img) -> np.ndarray | None:
     """Decoded uint8 HWC array if ``img`` is eligible for the device
     preprocess path, else None (caller falls back to host PIL preprocess).
 
-    Eligible = 8-bit samples AND a mode whose array values are real
-    intensities. Palette ('P') and bilevel ('1') images decode to uint8
-    palette INDICES / bits, and Pillow silently coerces their resampling to
-    NEAREST — device-resampling those values as intensities would diverge
-    from the host path, breaking the bit-parity contract this path
-    advertises (predict.py / serve.py). Shared by both inference surfaces
-    so the fallback policy is single-sourced."""
+    Eligible = 8-bit samples AND a mode Pillow resamples per-band with no
+    value transform — an ALLOWLIST of 'L' and 'RGB'. Everything else
+    diverges from the host path in some way: palette ('P') and bilevel
+    ('1') decode to indices/bits and get NEAREST-coerced; alpha modes
+    ('LA'/'RGBA'/'PA') are alpha-PREMULTIPLIED by Pillow before
+    convolution (measured 0.2-0.3 divergence on the 0-1 scale, code-review
+    r3); 16/32-bit ('I'/'F') violate the u8 fixed-point contract. Shared
+    by both inference surfaces so the fallback policy is single-sourced."""
     arr = np.asarray(img)
-    if arr.dtype != np.uint8 or getattr(img, "mode", None) in ("P", "1"):
+    if arr.dtype != np.uint8 or getattr(img, "mode", None) not in ("L", "RGB"):
         return None
     if arr.ndim == 2:
         arr = arr[..., None]

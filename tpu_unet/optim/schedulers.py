@@ -50,7 +50,12 @@ class CosineAnnealingLR:
         return self.lr
 
     def state_dict(self) -> dict:
-        return {"lr": self.lr, "base_lr": self.base_lr, "epoch": self.epoch}
+        # t_max/eta_min ride along so --resume continues the SAVED curve
+        # even when the new run passes a different --epochs/--lr-min
+        # (code-review r3: restoring only lr/epoch silently re-shaped the
+        # annealing period to the new run's epochs).
+        return {"lr": self.lr, "base_lr": self.base_lr, "epoch": self.epoch,
+                "t_max": self.t_max, "eta_min": self.eta_min}
 
     def load_state_dict(self, d: dict) -> None:
         for k, v in d.items():
@@ -78,7 +83,8 @@ class StepLR:
         return self.lr
 
     def state_dict(self) -> dict:
-        return {"lr": self.lr, "base_lr": self.base_lr, "epoch": self.epoch}
+        return {"lr": self.lr, "base_lr": self.base_lr, "epoch": self.epoch,
+                "step_size": self.step_size, "gamma": self.gamma}
 
     def load_state_dict(self, d: dict) -> None:
         for k, v in d.items():

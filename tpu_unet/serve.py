@@ -168,6 +168,7 @@ class BatchedPredictor:
                              "artifacts (their input shape is static); "
                              "serve a checkpoint")
         self.device_preprocess = device_preprocess
+        self._dp_warned_modes: set[str] = set()
         if fwd is not None:
             pass  # exported-artifact forward, used as-is
         elif kernels:
@@ -320,9 +321,14 @@ class BatchedPredictor:
                         "Scale is too small, resized images would have no pixel"
                     )
                 return arr
-            logger.warning("request image not device-preprocessable "
-                           "(mode %s): host preprocess for this request",
-                           getattr(img, "mode", "?"))
+            mode = getattr(img, "mode", "?")
+            if mode not in self._dp_warned_modes:
+                # Once per mode, not per request: a client streaming
+                # ineligible images must not flood the serving logs.
+                self._dp_warned_modes.add(mode)
+                logger.warning("request image not device-preprocessable "
+                               "(mode %s): host preprocess for such "
+                               "requests", mode)
         if self.static_hw is not None:
             # Artifact mode: the compiled program has one static input shape —
             # resize straight to it (BICUBIC, preprocess parity) and normalize.

@@ -316,6 +316,8 @@ def train_model(
         raise ValueError(
             f"--accum-steps {accum_steps} must divide --batch-size {batch_size}"
         )
+    if early_stopping is not None and early_stopping < 1:
+        raise ValueError(f"--early-stopping must be >= 1, got {early_stopping}")
     if zero:
         # ZeRO-1 shards the fp32 RMSprop trees over the 'data' axis
         # (parallel/zero.py) — it needs that axis, the GSPMD step (the
@@ -538,6 +540,7 @@ def train_model(
         step_size=lr_step_size, gamma=lr_gamma, eta_min=lr_min,
     )
     start_epoch = 1
+    resume_es = None  # early-stopping (best, bad) saved by a prior run
     if resume:
         # Full-state resume (beyond-reference: the reference's --load restores
         # weights only and restarts epochs; SURVEY.md §5). Optimizer state
@@ -576,6 +579,7 @@ def train_model(
                     saved_sched, lr_scheduler, scheduler.lr)
         else:  # older checkpoints carry only the lr
             scheduler.lr = float(extra.get("lr", learning_rate))
+        resume_es = extra.get("early_stop")
         logger.info("Resumed from %s at epoch %d (lr %g)", resume, start_epoch, scheduler.lr)
         if sharding is not None:
             # Re-place: the load put the restored trees on one device.
@@ -782,6 +786,8 @@ def train_model(
                    "lr": scheduler.lr, "interrupted": True,
                    "scheduler": {"name": lr_scheduler, **scheduler.state_dict()},
                    "optimizer": optimizer,
+                   **({"early_stop": {"best": es_best, "bad": es_bad}}
+                      if es_best != -float("inf") else {}),
                    "config": config._asdict()},
             opt_state=opt_state,  # always included: resumability is the point
         )
@@ -804,6 +810,12 @@ def train_model(
     # decision is synchronized under --multihost with no broadcast.
     early_stopped = False
     es_best, es_bad = -float("inf"), 0
+    if resume_es:
+        # Resume the patience bookkeeping with everything else — otherwise
+        # a resumed run forgets the best Dice and trains past the
+        # configured stop (code-review r3).
+        es_best = float(resume_es.get("best", es_best))
+        es_bad = int(resume_es.get("bad", es_bad))
     epoch = start_epoch  # defined even if the loop body never runs
     last_epoch = start_epoch - 1
 
@@ -1043,6 +1055,8 @@ def train_model(
                     extra={"epoch": epoch, "lr": scheduler.lr,
                            "scheduler": {"name": lr_scheduler, **scheduler.state_dict()},
                            "optimizer": optimizer,
+                           **({"early_stop": {"best": es_best, "bad": es_bad}}
+                              if es_best != -float("inf") else {}),
                            "config": config._asdict()},
                     opt_state=opt_state if save_optimizer else None,
                 )
