@@ -200,3 +200,59 @@ def test_accum_with_wandb_histograms(tmp_path, monkeypatch):
     )
     val_logs = [d for d in logs if "validation Dice" in d]
     assert val_logs and any(k.startswith("Gradients/") for k in val_logs[-1])
+
+
+def test_accum_composes_with_optimizer_menu():
+    """accum=2 with a non-RMSprop optimizer: the scan accumulates the
+    gradient UPSTREAM of the update, so the adam accum step consumes
+    exactly the direct-autodiff average of the strided microbatch grads
+    (clipped once, at the average — not per microbatch), and amp stays
+    finite."""
+    from tpu_unet.optim import clip_grad_norm, get_optimizer
+
+    config = UNetConfig(3, 1, bilinear=True, base_channels=8)
+    params, state = init_unet(jax.random.PRNGKey(0), config)
+    adam_init, _ = get_optimizer("adam")
+    imgs, masks = _toy_batch(n=4)
+    copy = lambda t: jax.tree.map(jnp.copy, t)
+
+    step = make_train_step(config, optimizer="adam", accum_steps=2,
+                           return_grads=True)
+    pa, sa, oa, la, gn, ga = step(copy(params), copy(state),
+                                  adam_init(params), imgs, masks,
+                                  jnp.float32(1e-3))
+
+    # Manual reference: direct autodiff per strided microbatch, BN state
+    # threaded in order, averaged THEN clipped once (the accum contract).
+    def loss_fn(p, bn, im, mk):
+        logits, new_bn = unet_apply(p, bn, im, config=config, train=True)
+        return compute_loss(logits, mk, config.n_classes), new_bn
+
+    bn = state
+    gsum = jax.tree.map(jnp.zeros_like, params)
+    lsum = 0.0
+    for j in range(2):
+        (l, bn), g = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, bn, imgs[j::2], masks[j::2])
+        gsum = jax.tree.map(jnp.add, gsum, g)
+        lsum = lsum + l
+    gavg = jax.tree.map(lambda g: g / 2, gsum)
+    gavg, gn2 = clip_grad_norm(gavg, 1.0)
+
+    np.testing.assert_allclose(float(la), float(lsum) / 2, rtol=1e-6)
+    np.testing.assert_allclose(float(gn), float(gn2), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(ga), jax.tree.leaves(gavg)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+    # The adam update actually ran: zero-state adam moves params ~sign(g)*lr.
+    moved = max(float(jnp.abs(a - b).max())
+                for a, b in zip(jax.tree.leaves(pa), jax.tree.leaves(params)))
+    assert 0 < moved < 3e-3
+    assert int(oa.step) == 1
+
+    # amp composition smoke: bf16 compute, fp32 adamw state, finite loss.
+    step_amp = make_train_step(config, optimizer="adamw", accum_steps=2,
+                               amp=True)
+    _, _, _, lamp, _ = step_amp(copy(params), copy(state), adam_init(params),
+                                imgs, masks, jnp.float32(1e-3))
+    assert np.isfinite(float(lamp))
