@@ -304,3 +304,52 @@ def test_tp_shards_attention_unet_too():
     y_tp, l_tp = run(mesh)
     np.testing.assert_allclose(y_tp, y_ref, atol=1e-4)
     np.testing.assert_allclose(l_tp, l_ref, rtol=5e-4)
+
+
+@pytest.mark.parametrize("arch", ["r2u", "r2attu"])
+def test_tp_shards_rrcnn_families(arch):
+    """RRCNN blocks shard under tp with the pair mapped onto the two
+    weight-shared recurrent units (rec1 on Cout, rec2 on Cin) — GSPMD
+    derives the per-application resharding of the recurrent activations
+    from those two weight specs alone. Params are actually distributed;
+    forward + one fp32 train step match single-device to reassociation
+    tolerance. r2attu's gate projections stay replicated."""
+    config = UNetConfig(3, 1, bilinear=True, base_channels=8, arch=arch,
+                        recur_t=2)
+    params, state = init_unet(jax.random.PRNGKey(0), config)
+    imgs, masks = synth_batch(np.random.default_rng(1), 8, 32, 32)
+    imgs, masks = jnp.asarray(imgs), jnp.asarray(masks)
+
+    specs = unet_param_specs(params, 2)
+    assert specs["down2"]["rec1"]["conv"]["w"] == P(None, None, None, "model")
+    assert specs["down2"]["rec2"]["conv"]["w"] == P(None, None, "model", None)
+    assert specs["down2"]["rec1"]["bn"]["scale"] == P("model")
+    assert specs["down2"]["proj"]["w"] == P()
+    if arch == "r2attu":
+        assert specs["up1"]["att"]["psi"]["w"] == P()
+
+    def run(mesh):
+        p0 = jax.tree.map(jnp.array, params)
+        s0 = jax.tree.map(jnp.array, state)
+        if mesh is None:
+            p, s, o = p0, s0, rmsprop_init(p0)
+            im, mk = imgs, masks
+        else:
+            p, s = shard_model(mesh, p0, s0)
+            o = shard_opt_state(mesh, rmsprop_init(p0), p0)
+            # The recurrent unit's weights are really 1/tp per device.
+            w = p["down2"]["rec1"]["conv"]["w"]
+            shard_shapes = {tuple(sh.data.shape) for sh in w.addressable_shards}
+            assert shard_shapes == {(3, 3, 32, 16)}
+            im = jax.device_put(imgs, image_sharding(mesh))
+            mk = jax.device_put(masks, image_sharding(mesh))
+        y, _ = unet_apply(p, s, im, config=config, train=False)
+        step = make_train_step(config)
+        p, s, o, loss, _ = step(p, s, o, im, mk, jnp.float32(1e-3))
+        return jax.device_get(y), float(loss)
+
+    mesh = make_mesh_3d(model=2)
+    y_ref, l_ref = run(None)
+    y_tp, l_tp = run(mesh)
+    np.testing.assert_allclose(y_tp, y_ref, atol=1e-4)
+    np.testing.assert_allclose(l_tp, l_ref, rtol=5e-4)

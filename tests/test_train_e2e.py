@@ -297,6 +297,56 @@ def test_predict_img_device_preprocess_bitexact(carvana):
     )
 
 
+def test_predict_batched_equals_serial(carvana, tmp_path):
+    """iter_predicted_masks with batch_size>1 yields, in input order,
+    exactly the serial predict_img masks — including a shape change
+    mid-list (flushes the group) and the device-preprocess composition."""
+    from tpu_unet.predict import iter_predicted_masks
+
+    config = UNetConfig(3, 1, bilinear=True, base_channels=8)
+    params, state = init_unet(jax.random.PRNGKey(0), config)
+    paths = sorted((carvana / "imgs").glob("*.png"))[:5]
+    # An odd-sized interloper forces a group flush mid-stream.
+    odd = tmp_path / "odd.png"
+    Image.open(paths[0]).resize((32, 48)).save(odd)
+    files = [str(paths[0]), str(paths[1]), str(odd), str(paths[2]),
+             str(paths[3]), str(paths[4])]
+
+    for device_preprocess in (False, True):
+        got = list(iter_predicted_masks(
+            params, state, config, files, scale_factor=1.0, batch_size=3,
+            device_preprocess=device_preprocess))
+        assert [f for f, _, _ in got] == files  # input order preserved
+        for fname, _, mask in got:
+            ref = predict_img(params, state, config, Image.open(fname),
+                              scale_factor=1.0)
+            np.testing.assert_array_equal(mask, ref)
+
+
+def test_predict_cli_batch_size(carvana, tmp_path):
+    """--batch-size N on the CLI: every output file lands and byte-equals
+    the serial run's; incompatible variants are refused."""
+    config = UNetConfig(3, 1, bilinear=True, base_channels=8)
+    params, state = init_unet(jax.random.PRNGKey(0), config)
+    from tpu_unet.checkpoint import save_checkpoint
+
+    ckpt = tmp_path / "m.npz"
+    save_checkpoint(ckpt, params, state, mask_values=[0, 1],
+                    extra={"config": config._asdict()})
+    imgs = [str(p) for p in sorted((carvana / "imgs").glob("*.png"))[:3]]
+    outs_b = [str(tmp_path / f"b{i}.png") for i in range(3)]
+    outs_s = [str(tmp_path / f"s{i}.png") for i in range(3)]
+    predict_main(["-m", str(ckpt), "-i", *imgs, "-o", *outs_b,
+                  "-s", "1.0", "--batch-size", "2"])
+    predict_main(["-m", str(ckpt), "-i", *imgs, "-o", *outs_s, "-s", "1.0"])
+    for b, s in zip(outs_b, outs_s):
+        np.testing.assert_array_equal(np.asarray(Image.open(b)),
+                                      np.asarray(Image.open(s)))
+    with pytest.raises(SystemExit):
+        predict_main(["-m", str(ckpt), "-i", imgs[0], "-s", "1.0",
+                      "--batch-size", "2", "--tile", "32"])
+
+
 def test_mask_to_image_palettes():
     m = np.array([[0, 1], [1, 0]])
     img = mask_to_image(m, [0, 255])

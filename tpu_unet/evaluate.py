@@ -211,7 +211,7 @@ def main(argv=None):
     p.add_argument("--batch-size", "-b", type=int, default=4)
     p.add_argument("--classes", "-c", type=int, default=1)
     p.add_argument("--bilinear", action="store_true")
-    p.add_argument("--arch", choices=["unet", "unetpp", "attention", "r2u"], default="unet")
+    p.add_argument("--arch", choices=["unet", "unetpp", "attention", "r2u", "r2attu"], default="unet")
     p.add_argument("--amp", action="store_true")
     p.add_argument("--data-parallel", action="store_true", default=False,
                    help="Shard each eval batch over all visible chips "

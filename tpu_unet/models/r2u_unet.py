@@ -24,9 +24,11 @@ repeatedly.
 
 Same TPU-native structure as the other families: NHWC pytrees, functional
 BN state, pure apply, both decoder modes (bilinear / ConvTranspose).
-Tensor parallelism: RRCNN blocks are not DoubleConv-shaped, so the
-Megatron pairing in parallel/tensor.py leaves them replicated (correct by
-construction — unet_param_specs shards only DoubleConv-shaped subtrees).
+Tensor parallelism: parallel/tensor.py maps the Megatron pairing onto the
+two recurrent units (rec1 on Cout, rec2 on Cin) — params and fp32
+optimizer state land 1/tp per chip, with GSPMD deriving the
+per-application resharding of the recurrent activations from the weight
+specs alone (tests/test_tensor_parallel.py).
 
 Select with ``UNetConfig(arch="r2u")`` / ``--arch r2u``; ``recur_t`` sets
 the recurrence depth.

@@ -55,10 +55,11 @@ class UNetConfig(NamedTuple):
     bilinear: bool = False
     base_channels: int = 64
     # "unet" (reference parity) | "unetpp" (models/unetpp.py) |
-    # "attention" (models/attention_unet.py) | "r2u" (models/r2u_unet.py)
+    # "attention" (models/attention_unet.py) | "r2u" (models/r2u_unet.py) |
+    # "r2attu" (models/r2attu_unet.py)
     arch: str = "unet"
     deep_supervision: bool = False  # unetpp only: per-column heads, averaged
-    recur_t: int = 2  # r2u only: recurrence depth of each shared conv unit
+    recur_t: int = 2  # r2u/r2attu: recurrence depth of each shared conv unit
     # MFU experiment (ops/s2d.py): compute the two full-resolution C=64
     # DoubleConv levels (inc, up4) in 2×2 space-to-depth form — same math,
     # 4× deeper MXU contraction, 1.78× the MACs. Numerics-equivalent
@@ -113,6 +114,10 @@ def init_unet(
         from tpu_unet.models.r2u_unet import init_r2u_unet
 
         return init_r2u_unet(key, config, dtype)
+    if config.arch == "r2attu":
+        from tpu_unet.models.r2attu_unet import init_r2attu_unet
+
+        return init_r2attu_unet(key, config, dtype)
     c = config.base_channels
     factor = 2 if config.bilinear else 1
     keys = jax.random.split(key, 10)
@@ -239,7 +244,7 @@ def unet_apply(
     step in shard_map and passes axis_name — the fused path then psums its
     stat sums for global-batch BN semantics.
     """
-    if config.arch in ("unetpp", "attention", "r2u"):
+    if config.arch in ("unetpp", "attention", "r2u", "r2attu"):
         if kernels:
             # Refuse rather than silently run XLA: the fused Pallas tier is
             # wired for the flagship U-Net's block layout only, and a user
@@ -260,6 +265,14 @@ def unet_apply(
             from tpu_unet.models.r2u_unet import r2u_unet_apply
 
             return r2u_unet_apply(
+                params, state, x, config=config, train=train,
+                compute_dtype=compute_dtype, remat=remat,
+                axis_name=axis_name,
+            )
+        if config.arch == "r2attu":
+            from tpu_unet.models.r2attu_unet import r2attu_unet_apply
+
+            return r2attu_unet_apply(
                 params, state, x, config=config, train=train,
                 compute_dtype=compute_dtype, remat=remat,
                 axis_name=axis_name,

@@ -20,8 +20,20 @@ GSPMD shardings (no hand-written collectives):
     no resharding.
 
   Everything that is not a DoubleConv (transposed-conv upsamplers, 1×1
-  output heads) is replicated — they are a rounding error of the parameter
-  and FLOP budget.
+  output heads, attention-gate projections) is replicated — they are a
+  rounding error of the parameter and FLOP budget.
+
+R2U/R2AttU's RRCNN blocks (models/r2u_unet.py) get the same treatment with
+the pair mapped onto the two recurrent units: ``rec1.conv`` shards on Cout
+(BN1 γ/β/stats with its channels), ``rec2.conv`` on Cin. The units are
+weight-SHARED across t+1 applications, so GSPMD additionally derives the
+per-application resharding of the recurrent activations (an all-gather
+before each rec1 re-application, one all-reduce per rec2 application) from
+the same two weight specs — no recurrence-aware code. The 1×1 channel
+projection stays replicated. Params and fp32 optimizer state still land
+1/tp per chip, which is the point of the axis; the extra per-application
+collectives are the cost of recurrence, priced in ICI bandwidth only when
+``--tensor-parallel`` is explicitly requested for those families.
 
 This composes with the existing axes: the full mesh is
 ('data', 'spatial', 'model'), batch sharded over 'data', image height over
@@ -50,6 +62,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from tpu_unet.ops import BNState
 
 _DC_KEYS = {"conv1", "bn1", "conv2", "bn2"}
+_RRCNN_KEYS = {"proj", "rec1", "rec2"}
 
 
 def make_mesh_3d(model: int, spatial: int = 1, n_devices: int | None = None) -> Mesh:
@@ -73,6 +86,12 @@ def make_mesh_3d(model: int, spatial: int = 1, n_devices: int | None = None) -> 
 
 def _is_double_conv_params(node) -> bool:
     return isinstance(node, dict) and _DC_KEYS <= set(node.keys())
+
+
+def _is_rrcnn_params(node) -> bool:
+    return (isinstance(node, dict) and _RRCNN_KEYS <= set(node.keys())
+            and isinstance(node.get("rec1"), dict)
+            and "conv" in node["rec1"])
 
 
 def _replicate_tree(tree):
@@ -103,6 +122,23 @@ def unet_param_specs(params, tp: int):
                 if k not in specs:
                     specs[k] = _replicate_tree(node[k])
             return specs
+        if _is_rrcnn_params(node):
+            # RRCNN (r2u/r2attu): the Megatron pair mapped onto the two
+            # weight-shared recurrent units — rec1 column-, rec2 row-sharded.
+            c = node["rec1"]["conv"]["w"].shape[3]
+            if c % tp:
+                return _replicate_tree(node)
+            specs = {
+                "proj": _replicate_tree(node["proj"]),
+                "rec1": {"conv": {"w": P(None, None, None, "model")},
+                         "bn": {"scale": P("model"), "bias": P("model")}},
+                "rec2": {"conv": {"w": P(None, None, "model", None)},
+                         "bn": {"scale": P(), "bias": P()}},
+            }
+            for k in node:
+                if k not in specs:
+                    specs[k] = _replicate_tree(node[k])
+            return specs
         if isinstance(node, dict):
             return {k: walk(v) for k, v in node.items()}
         return _replicate_tree(node)
@@ -122,6 +158,18 @@ def unet_state_specs(state, tp: int):
                 "bn1": BNState(mean=s1, var=s1),
                 "bn2": BNState(mean=P(), var=P()),
                 **{k: walk(v) for k, v in node.items() if k not in ("bn1", "bn2")},
+            }
+        if (isinstance(node, dict) and {"rec1", "rec2"} <= set(node.keys())
+                and isinstance(node["rec1"], dict)
+                and isinstance(node["rec1"].get("bn"), BNState)):
+            # RRCNN state: rec1's BN stats shard with rec1.conv's Cout.
+            c = node["rec1"]["bn"].mean.shape[0]
+            s1 = P("model") if c % tp == 0 else P()
+            return {
+                "rec1": {"bn": BNState(mean=s1, var=s1)},
+                "rec2": {"bn": BNState(mean=P(), var=P())},
+                **{k: walk(v) for k, v in node.items()
+                   if k not in ("rec1", "rec2")},
             }
         if isinstance(node, dict):
             return {k: walk(v) for k, v in node.items()}

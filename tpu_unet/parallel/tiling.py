@@ -62,7 +62,8 @@ def min_halo(config: UNetConfig) -> int:
     stride-weighted RF by ≈(t+1): halo must grow with it or the stitched
     output silently diverges from the full-image forward near window
     borders."""
-    if config.arch == "r2u":
+    if config.arch in ("r2u", "r2attu"):
+        # r2attu's gates are 1x1 convs — no spatial extent beyond r2u's.
         rf = 110 * (config.recur_t + 1)
         return (rf + 18 + 15) // 16 * 16  # same 18 px margin, 16-aligned
     return DEFAULT_HALO

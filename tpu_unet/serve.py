@@ -716,7 +716,7 @@ def main(argv=None):
                         ".jaxexp artifacts that carry no mask_values")
     p.add_argument("--classes", "-c", type=int, default=1)
     p.add_argument("--bilinear", action="store_true")
-    p.add_argument("--arch", choices=["unet", "unetpp", "attention", "r2u"], default="unet")
+    p.add_argument("--arch", choices=["unet", "unetpp", "attention", "r2u", "r2attu"], default="unet")
     p.add_argument("--amp", action=argparse.BooleanOptionalAction, default=True,
                    help="bf16 inference (default on; --no-amp for fp32)")
     p.add_argument("--max-batch", type=int, default=8)

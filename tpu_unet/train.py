@@ -1168,10 +1168,11 @@ def get_args(argv=None):
                         help="StepLR decay factor (--lr-scheduler step)")
     parser.add_argument("--lr-min", type=float, default=0.0,
                         help="Cosine annealing floor (--lr-scheduler cosine)")
-    parser.add_argument("--arch", choices=["unet", "unetpp", "attention", "r2u"], default="unet",
-                        help="Model family: classic U-Net (reference parity) or UNet++")
+    parser.add_argument("--arch", choices=["unet", "unetpp", "attention", "r2u", "r2attu"], default="unet",
+                        help="Model family: classic U-Net (reference parity), "
+                             "UNet++, Attention U-Net, R2U-Net, or R2AttU-Net")
     parser.add_argument("--recur-t", type=int, default=2, metavar="T",
-                        help="r2u only: recurrence depth of each shared "
+                        help="r2u/r2attu only: recurrence depth of each shared "
                              "conv unit (arXiv:1802.06955 uses t=2)")
     parser.add_argument("--deep-supervision", action="store_true", default=False,
                         help="UNet++ only: per-column output heads, averaged")
