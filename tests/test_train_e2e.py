@@ -312,14 +312,16 @@ def test_predict_batched_equals_serial(carvana, tmp_path):
     files = [str(paths[0]), str(paths[1]), str(odd), str(paths[2]),
              str(paths[3]), str(paths[4])]
 
-    for device_preprocess in (False, True):
+    # --tta composes too (ADVICE r3 #1: the claim was previously untested
+    # with batch_size>1; tta_logits is batch-generic so serial must match).
+    for device_preprocess, tta in ((False, False), (True, False), (False, True)):
         got = list(iter_predicted_masks(
             params, state, config, files, scale_factor=1.0, batch_size=3,
-            device_preprocess=device_preprocess))
+            device_preprocess=device_preprocess, tta=tta))
         assert [f for f, _, _ in got] == files  # input order preserved
         for fname, _, mask in got:
             ref = predict_img(params, state, config, Image.open(fname),
-                              scale_factor=1.0)
+                              scale_factor=1.0, tta=tta)
             np.testing.assert_array_equal(mask, ref)
 
 

@@ -50,16 +50,35 @@ PRESETS = {
 
 HELDOUT_SEED = 4242  # never used by any training/val dataset generation
 
+# Per-family quality floors (VERDICT r3 next #2): the flagship's floors live
+# in PRESETS; beyond-reference families gate once a calibrated on-chip run
+# exists. (val_floor, heldout_floor); None = report-only first run, then
+# calibrated with headroom under the measured Dice (ARCH_DEMOS.json).
+ARCH_FLOORS: dict[str, tuple[float, float] | None] = {
+    "unet": None,  # preset floors apply
+    "unetpp": None,
+    "attention": None,
+    "r2u": None,
+    "r2attu": None,
+}
+
 
 def run(preset: str = "full", data_dir: str | None = None,
         device_data: bool | None = None, ema_decay: float | None = None,
-        augment: bool = False, epochs_override: int | None = None) -> dict:
+        augment: bool = False, epochs_override: int | None = None,
+        arch: str = "unet") -> dict:
     from tpu_unet.data import HELDOUT_GEN, CarvanaDataset, make_synthetic_carvana
     from tpu_unet.evaluate import evaluate
     from tpu_unet.models import UNetConfig, init_unet
     from tpu_unet.train import train_model
 
     h, w, n_imgs, bc, batch, lr, epochs, floor, heldout_floor = PRESETS[preset]
+    if arch != "unet":
+        # Beyond-reference families: preset floors are calibrated on the
+        # flagship, so the family's own floors (ARCH_FLOORS) take over —
+        # report-only until a first on-chip run calibrates them.
+        fam = ARCH_FLOORS.get(arch)
+        floor, heldout_floor = fam if fam is not None else (0.0, None)
     if epochs_override is not None:
         # Budget experiments (report-only): the frozen gates are calibrated
         # on the preset budget, so overriding epochs blanks them.
@@ -77,7 +96,10 @@ def run(preset: str = "full", data_dir: str | None = None,
     ds = CarvanaDataset(tmp / "data" / "imgs", tmp / "data" / "masks", scale=1.0,
                         cache=True)
 
-    config = UNetConfig(n_channels=3, n_classes=1, bilinear=False, base_channels=bc)
+    # Non-flagship families use their canonical bilinear decoder (UNet++ is
+    # bilinear-only by construction; Attention/R2U/R2AttU papers upsample).
+    config = UNetConfig(n_channels=3, n_classes=1, bilinear=(arch != "unet"),
+                        base_channels=bc, arch=arch)
     params, state = init_unet(jax.random.PRNGKey(0), config)
 
     if device_data is None:
@@ -152,6 +174,7 @@ def run(preset: str = "full", data_dir: str | None = None,
         passed = passed and bool(held_dice >= heldout_floor)
     result = {
         "preset": preset,
+        "arch": arch,
         "augment": augment,
         "final_val_dice": round(float(dice), 4),
         "final_val_iou": round(float(iou), 4),
@@ -178,6 +201,9 @@ def run(preset: str = "full", data_dir: str | None = None,
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--preset", choices=list(PRESETS), default="full")
+    ap.add_argument("--arch", choices=list(ARCH_FLOORS), default="unet",
+                    help="Model family to train (VERDICT r3 next #2: every "
+                         "shipped --arch needs on-chip Dice evidence)")
     ap.add_argument("--out", type=str, default=None)
     ap.add_argument("--ema-decay", type=float, default=None,
                     help="Also train/evaluate EMA shadow weights; reported "
@@ -190,7 +216,7 @@ def main():
                          "disables the frozen gates)")
     args = ap.parse_args()
     result = run(args.preset, ema_decay=args.ema_decay, augment=args.augment,
-                 epochs_override=args.epochs)
+                 epochs_override=args.epochs, arch=args.arch)
     print(json.dumps(result))
     if args.out:
         Path(args.out).write_text(json.dumps(result, indent=2))
