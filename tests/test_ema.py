@@ -115,7 +115,7 @@ def test_ema_horizon_warning(carvana, tmp_path, caplog):
 
     def run(decay):
         params, state = init_unet(jax.random.PRNGKey(0), config)
-        with caplog.at_level(logging.WARNING, logger="tpu_unet.train"):
+        with caplog.at_level(logging.WARNING, logger="tpu_unet.train_ema"):
             caplog.clear()
             train_model(params, state, config, dataset=ds, epochs=1,
                         batch_size=2, learning_rate=1e-3, val_percent=0.2,

@@ -408,7 +408,7 @@ def test_wandb_parity_buffered_steps_grad_histograms_pred_mask(tmp_path, monkeyp
     assert set(v["masks"]) == {"true", "pred"}
     # Histograms are device-subsampled (VERDICT r2 weak #4): no leaf fetch
     # may exceed the cap that keeps the per-validation D2H a few MB.
-    from tpu_unet.train import _HIST_CAP
+    from tpu_unet.train_logging import _HIST_CAP
 
     hist_sizes = [val[1] for d in val_logs for k, val in d.items()
                   if isinstance(val, tuple) and val[0] == "hist"]
