@@ -46,6 +46,22 @@ PRESETS = {
     # ~3.5 min; a broken train path lands ~0.3, so 0.65 separates cleanly.
     # Held-out reported but ungated at toy scale (too noisy to separate).
     "ci": (64, 96, 48, 16, 4, 1e-3, 25, 0.65, None),
+    # Family-comparison scale (VERDICT r3 next #2): 320×480 — the shape the
+    # BENCH_NOTES family throughput characterizations used — big enough for
+    # real segmentation, small enough that UNet++'s dense grid fits HBM.
+    # Preset floors are report-only; per-family floors live in ARCH_FLOORS.
+    "arch": (320, 480, 128, 64, 8, 3e-4, 20, 0.0, None),
+    # Flip-symmetric overhead scenes (VERDICT r3 next #4): the distribution
+    # where TTA/augmentation's precondition holds BY CONSTRUCTION — the
+    # positive-lever measurement to set against the gravity-axis negatives
+    # (BENCH_NOTES r3). Report-only floors; sized like "full".
+    "overhead": (160, 224, 48, 64, 8, 3e-4, 40, 0.0, None),
+}
+
+# Preset-specific generator configs: (train_gen, heldout_gen); None entries
+# mean the frozen defaults (v3 TRAIN_GEN / HELDOUT_GEN).
+PRESET_GENS = {
+    "overhead": ("OVERHEAD_GEN", "OVERHEAD_HELDOUT_GEN"),
 }
 
 HELDOUT_SEED = 4242  # never used by any training/val dataset generation
@@ -85,12 +101,17 @@ def run(preset: str = "full", data_dir: str | None = None,
         epochs = epochs_override
         floor, heldout_floor = 0.0, None
     tmp = Path(data_dir or tempfile.mkdtemp())
-    make_synthetic_carvana(tmp / "data", n=n_imgs, h=h, w=w)
+    import tpu_unet.data as _data
+
+    gen_names = PRESET_GENS.get(preset)
+    train_gen = getattr(_data, gen_names[0]) if gen_names else None
+    heldout_gen = getattr(_data, gen_names[1]) if gen_names else HELDOUT_GEN
+    make_synthetic_carvana(tmp / "data", n=n_imgs, h=h, w=w, gen=train_gen)
     # Held-out evaluation set: unseen seed AND unseen generator parameter
     # ranges — never available during training or tuning.
     n_held = max(8, n_imgs // 8)
     make_synthetic_carvana(tmp / "heldout", n=n_held, h=h, w=w,
-                           seed=HELDOUT_SEED, gen=HELDOUT_GEN)
+                           seed=HELDOUT_SEED, gen=heldout_gen)
     # RAM cache: at 959×640 the 5×/epoch validation otherwise re-decodes the
     # val split every division step and the TPU sits >95% idle.
     ds = CarvanaDataset(tmp / "data" / "imgs", tmp / "data" / "masks", scale=1.0,

@@ -6,7 +6,14 @@ from tpu_unet.data.loading import (
     unique_mask_values,
 )
 from tpu_unet.data.prefetch import DataLoader, collate, prefetch_to_device
-from tpu_unet.data.synthetic import HELDOUT_GEN, TRAIN_GEN, make_synthetic_carvana, synth_batch
+from tpu_unet.data.synthetic import (
+    HELDOUT_GEN,
+    OVERHEAD_GEN,
+    OVERHEAD_HELDOUT_GEN,
+    TRAIN_GEN,
+    make_synthetic_carvana,
+    synth_batch,
+)
 
 __all__ = [
     "BasicDataset",
@@ -18,6 +25,8 @@ __all__ = [
     "collate",
     "prefetch_to_device",
     "HELDOUT_GEN",
+    "OVERHEAD_GEN",
+    "OVERHEAD_HELDOUT_GEN",
     "TRAIN_GEN",
     "make_synthetic_carvana",
     "synth_batch",

@@ -31,6 +31,21 @@ HELDOUT_GEN = dict(
     car_lum=(0.08, 0.62), highlight=0.35, bg_glare=0.18,
 )
 
+# Flip-symmetric "overhead" variant (VERDICT r3 next #4): a top-down drone
+# shot with ACHIRAL lighting — no vertical backdrop gradient, the shadow an
+# ambient-occlusion halo centered on the car instead of a gravity-axis floor
+# ellipse, no directional specular streak, no diagonal glare. Per-sample
+# appearance statistics are then invariant under h/v flips BY CONSTRUCTION,
+# which is exactly the precondition flip-TTA and hflip-augmentation need
+# (BENCH_NOTES r3 measured both HURTING on the gravity-axis studio scenes:
+# vertical-flip views put the shadow above the car = out-of-distribution).
+_OVERHEAD_DELTA = dict(
+    backdrop_grad=0.0, shadow_offset=0.0, shadow_ry=1.35, shadow_rx=1.25,
+    highlight=0.0, bg_glare=0.0,
+)
+OVERHEAD_GEN = {**TRAIN_GEN, **_OVERHEAD_DELTA}
+OVERHEAD_HELDOUT_GEN = {**HELDOUT_GEN, **_OVERHEAD_DELTA}
+
 
 def synth_sample(rng: np.random.Generator, h: int, w: int, gen: dict | None = None):
     """One (image, binary mask) pair emulating a Carvana studio shot.
@@ -71,8 +86,13 @@ def synth_sample(rng: np.random.Generator, h: int, w: int, gen: dict | None = No
     img = np.repeat(base[..., None], 3, axis=-1) + 0.02 * rng.standard_normal((h, w, 3))
 
     # Floor shadow under the car: darkens the backdrop, NOT in the mask.
+    # shadow_ry/shadow_rx default to the frozen v3 shape (0.35, 1.05); the
+    # overhead variant widens both past the car so a CENTERED (offset 0)
+    # shadow reads as an ambient-occlusion halo around it.
     sy = cy + g["shadow_offset"] * ry
-    shadow = (((yy - sy) / (0.35 * ry)) ** 2 + ((xx - cx) / (1.05 * rx)) ** 2) <= 1.0
+    s_ry = g.get("shadow_ry", 0.35) * ry
+    s_rx = g.get("shadow_rx", 1.05) * rx
+    shadow = (((yy - sy) / s_ry) ** 2 + ((xx - cx) / s_rx) ** 2) <= 1.0
     img = np.where(shadow[..., None], img * rng.uniform(*g["shadow_dim"]), img)
 
     if g["bg_glare"]:
