@@ -109,6 +109,21 @@ def test_tta_covers_all_model_families(arch, rng):
     np.testing.assert_allclose(got, want, rtol=0, atol=1e-4)
 
 
+@pytest.mark.parametrize("arch,mode", [("unet", "flips"), ("unet", "hflip"),
+                                       ("unetpp", "flips")])
+def test_tta_scanned_matches_batched(arch, mode, rng):
+    """batched=False (the lax.scan memory-lean form evaluate() uses — one
+    live forward instead of a k·N view batch) ensembles to the same logits
+    as the batched form, across modes and the arch dispatch."""
+    config = UNetConfig(3, 1, bilinear=True, base_channels=8, arch=arch)
+    params, state = init_unet(jax.random.PRNGKey(5), config)
+    x = jnp.asarray(rng.random((2, 34, 46, 3), dtype=np.float32))
+    batched = np.asarray(tta_logits(params, state, x, config=config, mode=mode))
+    scanned = np.asarray(tta_logits(params, state, x, config=config, mode=mode,
+                                    batched=False))
+    np.testing.assert_allclose(scanned, batched, rtol=0, atol=1e-5)
+
+
 def test_tta_hflip_mode(small_model, rng):
     """hflip mode = identity + left-right only: equals the manual 2-view
     ensemble, and the CLI accepts --tta-mode hflip end to end."""

@@ -36,8 +36,14 @@ def eval_step(params, state, images, masks, *, config: UNetConfig,
     if tta:
         from tpu_unet.models.tta import tta_logits
 
+        # batched=False: at evaluation batch sizes the k·N view batch
+        # multiplies activation memory by k and OOMs the heavier families
+        # (UNet++ 320×480 eval b8 needed 19.6G vs 15.75G HBM, r4); the
+        # scanned form runs one view at a time. predict/serve keep the
+        # batched form — at batch 1 the 4-view batch is the MXU win.
         logits = tta_logits(params, state, images, config=config,
-                            compute_dtype=compute_dtype, mode=tta_mode)
+                            compute_dtype=compute_dtype, mode=tta_mode,
+                            batched=False)
     else:
         logits, _ = unet_apply(
             params,
@@ -78,8 +84,10 @@ def eval_step_per_class(params, state, images, masks, *, config: UNetConfig,
     if tta:
         from tpu_unet.models.tta import tta_logits
 
+        # Scanned (memory-lean) TTA, same rationale as eval_step.
         logits = tta_logits(params, state, images, config=config,
-                            compute_dtype=compute_dtype, mode=tta_mode)
+                            compute_dtype=compute_dtype, mode=tta_mode,
+                            batched=False)
     else:
         logits, _ = unet_apply(params, state, images, config=config,
                                train=False, compute_dtype=compute_dtype)
