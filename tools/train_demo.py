@@ -78,6 +78,18 @@ ARCH_FLOORS: dict[str, tuple[float, float] | None] = {
     "r2attu": None,
 }
 
+# Per-family learning-rate overrides. Measured on chip (arch preset, r4):
+# at the preset's 3e-4 the recurrent families blow up within ~10 optimizer
+# steps (r2u train loss 1.4 -> 448 by step 10, saturating near 1e5, final
+# val Dice 0.34; r2attu late-diverged to 0.76) — the t=2 recurrence doubles
+# each block's effective conv depth and the reference RMSprop recipe's
+# momentum=0.999 accumulates ~1000 normalized steps, so the stable-lr window
+# shrinks roughly with depth. unet/unetpp/attention converge at 3e-4.
+ARCH_LR: dict[str, float] = {
+    "r2u": 3e-5,
+    "r2attu": 3e-5,
+}
+
 
 def run(preset: str = "full", data_dir: str | None = None,
         device_data: bool | None = None, ema_decay: float | None = None,
@@ -95,6 +107,7 @@ def run(preset: str = "full", data_dir: str | None = None,
         # report-only until a first on-chip run calibrates them.
         fam = ARCH_FLOORS.get(arch)
         floor, heldout_floor = fam if fam is not None else (0.0, None)
+        lr = ARCH_LR.get(arch, lr)
     if epochs_override is not None:
         # Budget experiments (report-only): the frozen gates are calibrated
         # on the preset budget, so overriding epochs blanks them.
@@ -209,6 +222,8 @@ def run(preset: str = "full", data_dir: str | None = None,
         "first_loss": round(hist["train_loss"][0], 3) if hist["train_loss"] else None,
         "last_loss": round(hist["train_loss"][-1], 3) if hist["train_loss"] else None,
         "steps": len(hist["train_loss"]),
+        "lr": lr,
+        "epochs": epochs,
         "train_wall_s": round(wall, 1),
         "dice_floor": floor,
         "heldout_floor": heldout_floor,
