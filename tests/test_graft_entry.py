@@ -18,6 +18,7 @@ import sys
 import time
 
 import jax
+import pytest
 
 
 def test_entry_compiles():
@@ -28,6 +29,7 @@ def test_entry_compiles():
     assert out.shape == (1, 64, 64, 2)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_one_core_tier():
     """n=1 sanity on the in-process path: core tier only (budget 0 skips
     every extended section; halo needs neighbours so n=1 runs DP + ZeRO)."""
@@ -40,6 +42,7 @@ def test_dryrun_multichip_one_core_tier():
         del os.environ["TPU_UNET_DRYRUN_BUDGET_S"]
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_self_provisions_like_the_driver():
     """Reproduce the driver's exact condition: a fresh process whose JAX sees
     FEWER devices than requested (the real run sees the 1 axon chip; here we

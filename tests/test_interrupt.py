@@ -21,6 +21,9 @@ from tpu_unet.checkpoint import read_checkpoint_meta
 from tpu_unet.data import CarvanaDataset, make_synthetic_carvana
 from tpu_unet.models import UNetConfig, init_unet
 
+# Fast-tier exclusion (VERDICT r3 next #3): signal-driven training interruption end-to-end.
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def carvana(tmp_path_factory):

@@ -54,6 +54,9 @@ from tpu_unet.data import CarvanaDataset
 from tpu_unet.models import UNetConfig, init_unet
 import tpu_unet.train as train_mod
 
+# Fast-tier exclusion (VERDICT r3 next #3): spawns 2 coordinated processes with their own compiles.
+pytestmark = pytest.mark.slow
+
 ds = CarvanaDataset(f"{data}/imgs", f"{data}/masks", scale=1.0, num_workers=0)
 config = UNetConfig(3, 1, bilinear=True, base_channels=8)
 params, state = init_unet(jax.random.PRNGKey(0), config)

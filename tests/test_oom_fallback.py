@@ -7,6 +7,11 @@ import numpy as np
 from tpu_unet.data import make_synthetic_carvana
 import tpu_unet.train as train_mod
 
+# Fast-tier exclusion (VERDICT r3 next #3): fault-injected full training attempts.
+import pytest
+
+pytestmark = pytest.mark.slow
+
 
 def test_oom_triggers_remat_retry(tmp_path, monkeypatch):
     make_synthetic_carvana(tmp_path / "d", n=4, h=32, w=32)

@@ -14,6 +14,9 @@ from tpu_unet.models import UNetConfig, init_unet
 from tpu_unet.predict import main as predict_main, mask_to_image, predict_img
 from tpu_unet.train import compute_loss, main as train_main, make_train_step, train_model
 
+# Fast-tier exclusion (VERDICT r3 next #3): train/predict CLI end-to-end drives (many full jit compiles + subprocess mains).
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def carvana(tmp_path_factory):
