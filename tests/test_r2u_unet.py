@@ -80,10 +80,13 @@ def test_r2u_train_step_and_remat():
     np.testing.assert_allclose(losses[True], losses[False], rtol=1e-6)
 
 
-def test_r2u_cli_train_predict_roundtrip(tmp_path):
+def test_r2u_cli_train_predict_roundtrip(tmp_path, caplog):
     """--arch r2u end-to-end: train CLI writes a self-describing checkpoint
     (arch + recur_t in extra['config']); predict rebuilds the exact model
-    from it with no arch flags."""
+    from it with no arch flags. The run's lr (1e-3) sits in the measured
+    RMSprop divergence zone for recurrent families (BENCH_NOTES r4), so the
+    recipe warning must fire."""
+    import logging
     import sys
 
     from tpu_unet.data import make_synthetic_carvana
@@ -97,7 +100,9 @@ def test_r2u_cli_train_predict_roundtrip(tmp_path):
                     "--arch", "r2u", "--recur-t", "3",
                     "--data-dir", str(tmp_path / "d"),
                     "--checkpoint-dir", str(tmp_path / "ck")]
-        train_main()
+        with caplog.at_level(logging.WARNING, logger="tpu_unet.train"):
+            train_main()
+        assert any("diverged in" in r.getMessage() for r in caplog.records)
         from tpu_unet.checkpoint import read_checkpoint_meta
 
         _, extra = read_checkpoint_meta(tmp_path / "ck" / "checkpoint_epoch1.npz")

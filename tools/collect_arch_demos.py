@@ -19,8 +19,8 @@ from pathlib import Path
 FIELDS = (
     "final_val_dice", "final_val_iou", "heldout_dice", "heldout_iou",
     "heldout_dice_tta", "heldout_dice_tta_hflip", "first_loss", "last_loss",
-    "steps", "train_wall_s", "device", "dice_floor", "heldout_floor",
-    "passed",
+    "steps", "lr", "epochs", "heldout_n", "train_wall_s", "device",
+    "dice_floor", "heldout_floor", "passed",
 )
 
 

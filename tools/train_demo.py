@@ -64,6 +64,14 @@ PRESET_GENS = {
     "overhead": ("OVERHEAD_GEN", "OVERHEAD_HELDOUT_GEN"),
 }
 
+# Held-out set sizing: default max(8, n//8). The overhead preset exists to
+# measure ±0.001-scale lever deltas (TTA/augment/EMA), and 8 held-out
+# images put those under the noise floor — it evaluates 64 instead
+# (eval-only cost; its floors are report-only so no frozen gate moves).
+PRESET_HELDOUT_N = {
+    "overhead": 64,
+}
+
 HELDOUT_SEED = 4242  # never used by any training/val dataset generation
 
 # Per-family quality floors (VERDICT r3 next #2): the flagship's floors live
@@ -71,11 +79,15 @@ HELDOUT_SEED = 4242  # never used by any training/val dataset generation
 # exists. (val_floor, heldout_floor); None = report-only first run, then
 # calibrated with headroom under the measured Dice (ARCH_DEMOS.json).
 ARCH_FLOORS: dict[str, tuple[float, float] | None] = {
-    "unet": None,  # preset floors apply
-    "unetpp": None,
-    "attention": None,
-    "r2u": None,
-    "r2attu": None,
+    # Calibrated from the r4 on-chip arch-preset runs (ARCH_DEMOS.json),
+    # measured Dice minus a 0.03 run-to-run noise margin. unet gates on
+    # the arch preset too (its preset floors are calibrated for "full"/
+    # "carvana" sizings, not 320×480/20ep).
+    "unet": (0.947, 0.939),       # measured val 0.9772 / heldout 0.9685
+    "unetpp": (0.965, 0.952),     # measured 0.9949 / 0.9816
+    "attention": (0.954, 0.959),  # measured 0.9835 / 0.9887
+    "r2u": (0.888, 0.860),        # measured 0.9185 / 0.8902 (lr 3e-5)
+    "r2attu": (0.898, 0.860),     # measured 0.9282 / 0.8905 (lr 3e-5)
 }
 
 # Per-family learning-rate overrides. Measured on chip (arch preset, r4):
@@ -93,7 +105,8 @@ ARCH_LR: dict[str, float] = {
 
 def run(preset: str = "full", data_dir: str | None = None,
         device_data: bool | None = None, ema_decay: float | None = None,
-        augment: bool = False, epochs_override: int | None = None,
+        augment: bool = False, augment_mode: str = "full",
+        epochs_override: int | None = None,
         arch: str = "unet") -> dict:
     from tpu_unet.data import HELDOUT_GEN, CarvanaDataset, make_synthetic_carvana
     from tpu_unet.evaluate import evaluate
@@ -101,11 +114,11 @@ def run(preset: str = "full", data_dir: str | None = None,
     from tpu_unet.train import train_model
 
     h, w, n_imgs, bc, batch, lr, epochs, floor, heldout_floor = PRESETS[preset]
-    if arch != "unet":
-        # Beyond-reference families: preset floors are calibrated on the
-        # flagship, so the family's own floors (ARCH_FLOORS) take over —
-        # report-only until a first on-chip run calibrates them.
-        fam = ARCH_FLOORS.get(arch)
+    if arch != "unet" or preset == "arch":
+        # Family floors (ARCH_FLOORS) are calibrated at the arch preset's
+        # sizing and gate ONLY there; any other preset × non-flagship arch
+        # is report-only (the flagship's own presets keep their floors).
+        fam = ARCH_FLOORS.get(arch) if preset == "arch" else None
         floor, heldout_floor = fam if fam is not None else (0.0, None)
         lr = ARCH_LR.get(arch, lr)
     if epochs_override is not None:
@@ -122,7 +135,7 @@ def run(preset: str = "full", data_dir: str | None = None,
     make_synthetic_carvana(tmp / "data", n=n_imgs, h=h, w=w, gen=train_gen)
     # Held-out evaluation set: unseen seed AND unseen generator parameter
     # ranges — never available during training or tuning.
-    n_held = max(8, n_imgs // 8)
+    n_held = PRESET_HELDOUT_N.get(preset, max(8, n_imgs // 8))
     make_synthetic_carvana(tmp / "heldout", n=n_held, h=h, w=w,
                            seed=HELDOUT_SEED, gen=heldout_gen)
     # RAM cache: at 959×640 the 5×/epoch validation otherwise re-decodes the
@@ -153,12 +166,16 @@ def run(preset: str = "full", data_dir: str | None = None,
         checkpoint_dir=ck,
         amp=jax.default_backend() != "cpu", seed=0, device_dataset=device_data,
         ema_decay=ema_decay,
-        # hflip + photometric jitter (data/augment.py): the precondition for
-        # flip-TTA to help (BENCH_NOTES r3) and a generalization lever of
-        # its own. Report-only — gates stay calibrated on the plain recipe.
+        # hflip (+ photometric jitter unless --augment-mode hflip isolates
+        # the geometric term): the precondition for flip-TTA to help
+        # (BENCH_NOTES r3) and a generalization lever of its own.
+        # Report-only — gates stay calibrated on the plain recipe.
         augment=__import__("tpu_unet.data.augment",
                            fromlist=["AugmentConfig"]).AugmentConfig(
-            hflip=True, brightness=0.1, contrast=0.1) if augment else None,
+            hflip=True,
+            brightness=0.1 if augment_mode == "full" else 0.0,
+            contrast=0.1 if augment_mode == "full" else 0.0,
+        ) if augment else None,
     )
     wall = time.time() - t0
 
@@ -210,6 +227,8 @@ def run(preset: str = "full", data_dir: str | None = None,
         "preset": preset,
         "arch": arch,
         "augment": augment,
+        "augment_mode": augment_mode if augment else None,
+        "heldout_seed": HELDOUT_SEED,
         "final_val_dice": round(float(dice), 4),
         "final_val_iou": round(float(iou), 4),
         "heldout_dice": round(float(held_dice), 4),
@@ -247,11 +266,17 @@ def main():
     ap.add_argument("--augment", action="store_true", default=False,
                     help="Train with device-side hflip + photometric jitter "
                          "(the flip-TTA precondition; report-only)")
+    ap.add_argument("--augment-mode", choices=("full", "hflip"),
+                    default="full",
+                    help="full = hflip + brightness/contrast jitter; hflip "
+                         "= geometric term only (isolates the photometric "
+                         "confounder in lever ablations)")
     ap.add_argument("--epochs", type=int, default=None,
                     help="Override the preset's epoch budget (report-only: "
                          "disables the frozen gates)")
     args = ap.parse_args()
     result = run(args.preset, ema_decay=args.ema_decay, augment=args.augment,
+                 augment_mode=args.augment_mode,
                  epochs_override=args.epochs, arch=args.arch)
     print(json.dumps(result))
     if args.out:

@@ -746,8 +746,12 @@ def main(argv=None):
                    help="Resize + normalize each request ON DEVICE "
                         "(Pillow-bit-exact int32 resample — identical "
                         "masks); host keeps only the image decode. "
-                        "Checkpoint serving only; non-8-bit images fall "
-                        "back to host preprocess per request")
+                        "Recommended for large-input/tiled serving: wins "
+                        "14%% p50 / 32%% p90 at 1918x1280 --tile 1024 but "
+                        "LOSES ~24%% p50 at small single-forward shapes "
+                        "(measured, BENCH_NOTES r4). Checkpoint serving "
+                        "only; non-8-bit images fall back to host "
+                        "preprocess per request")
     p.add_argument("--warmup", type=str, default=None, metavar="HxW",
                    help="Run one dummy request at this raw image size "
                         "before accepting traffic, so the jit compile "

@@ -505,6 +505,18 @@ def train_model(
         epochs, batch_size, learning_rate, n_train, n_val, amp, jax.device_count(),
     )
 
+    if (config.arch in ("r2u", "r2attu") and optimizer == "rmsprop"
+            and (momentum is None or momentum >= 0.99)
+            and learning_rate >= 1e-4):
+        # Measured on chip (BENCH_NOTES r4): the t=2 recurrence doubles
+        # effective conv depth, and RMSprop momentum=0.999 integrates
+        # ~1000 normalized steps, so these families blow up within ~10
+        # optimizer steps at lr 3e-4 where the other families converge.
+        logger.warning(
+            "--arch %s at lr %g under RMSprop(momentum>=0.99) diverged in "
+            "on-chip measurements (stable at ~3e-5); drop -l ~10x or use "
+            "--optimizer adam.", config.arch, learning_rate)
+
     opt_init, _ = get_optimizer(optimizer, weight_decay=weight_decay,
                                 momentum=momentum, nesterov=nesterov)
     opt_state = opt_init(params)
