@@ -10,3 +10,4 @@ mask_values) instead of an nn.Module — the framework's native handle.
 dependencies = ["jax", "numpy"]
 
 from tpu_unet.hub import unet_carvana  # noqa: E402,F401
+from tpu_unet.hub import unet  # noqa: E402,F401

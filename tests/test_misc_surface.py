@@ -81,3 +81,23 @@ def test_torch_hub_protocol_shim():
     )
     assert config.n_classes == 2 and not config.bilinear
     assert mask_values is None
+
+def test_hub_generic_family_entry(tmp_path):
+    """hub.unet(arch=...) builds any family with its canonical decoder and
+    round-trips .npz weights; .pth import is refused for non-flagship
+    families (no torch release exists to import)."""
+    from tpu_unet.checkpoint import save_checkpoint
+    from tpu_unet.hub import unet
+
+    p, s, cfg, mv = unet(arch="r2u", base_channels=8, recur_t=3)
+    assert cfg.arch == "r2u" and cfg.bilinear and cfg.recur_t == 3
+
+    save_checkpoint(tmp_path / "w.npz", p, s, mask_values=[0, 255])
+    p2, s2, cfg2, mv2 = unet(arch="r2u", base_channels=8, recur_t=3,
+                             weights_path=str(tmp_path / "w.npz"))
+    assert mv2 == [0, 255]
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(p2)[0]), np.asarray(jax.tree.leaves(p)[0]))
+
+    with pytest.raises(ValueError, match="flagship"):
+        unet(arch="unetpp", weights_path="x.pth")

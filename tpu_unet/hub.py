@@ -54,3 +54,42 @@ def unet_carvana(pretrained: bool = False, scale: float = 0.5, weights_path: str
 
             params, state, mask_values, _ = load_checkpoint(path, params, state)
     return params, state, config, mask_values
+
+
+def unet(arch: str = "unet", n_channels: int = 3, n_classes: int = 2,
+         bilinear: bool | None = None, base_channels: int = 64,
+         recur_t: int = 2, weights_path: str | None = None):
+    """Generic hub entry over the whole model zoo (beyond-reference; the
+    upstream hubconf exposes only unet_carvana).
+
+    ``arch``: unet | unetpp | attention | r2u | r2attu. ``bilinear`` None
+    picks each family's canonical decoder (ConvT for the flagship,
+    bilinear for the paper families — same rule as tools/train_demo.py).
+    ``weights_path`` loads a self-describing .npz checkpoint or a
+    reference-layout .pth (flagship only; the paper families have no torch
+    release to import). Returns (params, state, config, mask_values).
+    """
+    import jax
+
+    if bilinear is None:
+        bilinear = arch != "unet"
+    config = UNetConfig(n_channels=n_channels, n_classes=n_classes,
+                        bilinear=bilinear, base_channels=base_channels,
+                        arch=arch, recur_t=recur_t)
+    params, state = init_unet(jax.random.PRNGKey(0), config)
+    mask_values = None
+    if weights_path:
+        if str(weights_path).endswith(".pth"):
+            if arch != "unet":
+                raise ValueError(
+                    ".pth import is reference-layout (flagship) only; "
+                    f"arch={arch!r} checkpoints are .npz")
+            from tpu_unet.checkpoint import import_pth
+
+            params, state, mask_values = import_pth(weights_path, config)
+        else:
+            from tpu_unet.checkpoint import load_checkpoint
+
+            params, state, mask_values, _ = load_checkpoint(
+                weights_path, params, state)
+    return params, state, config, mask_values
