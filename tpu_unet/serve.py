@@ -213,6 +213,15 @@ class BatchedPredictor:
         self.tile, self.halo = tile, halo
         self.tta = tta
         if tile:
+            if not device_preprocess and fwd is None:
+                # Measured at the serving site (BENCH_NOTES r4): at tiled
+                # 1918×1280 the host bicubic dominates the serial path and
+                # --device-preprocess wins 14% p50 / 32% p90 (and loses
+                # only at small single-forward shapes, where --tile is off).
+                logger.info("serve --tile without --device-preprocess: "
+                            "device preprocess measured 14%% faster p50 / "
+                            "32%% p90 at this scale and is bit-exact — "
+                            "consider enabling it")
             # Large-image path: exact tiled sweep (one dispatch, peak HBM
             # O(window) not O(image) — parallel/tiling.py). Used per request
             # group when the preprocessed shape meets the exactness contract
