@@ -101,3 +101,23 @@ def test_hub_generic_family_entry(tmp_path):
 
     with pytest.raises(ValueError, match="flagship"):
         unet(arch="unetpp", weights_path="x.pth")
+
+
+def test_hub_honors_self_describing_checkpoint(tmp_path):
+    """A checkpoint carrying its config (as every train-written .npz does)
+    wins over mismatched caller args — hub.unet must load it cleanly
+    instead of dying in the array restore (ADVICE r4)."""
+    from tpu_unet.checkpoint import save_checkpoint
+    from tpu_unet.hub import unet
+    from tpu_unet.models import UNetConfig, init_unet
+
+    cfg = UNetConfig(3, 2, bilinear=True, base_channels=8, arch="attention")
+    p, s = init_unet(jax.random.PRNGKey(0), cfg)
+    save_checkpoint(tmp_path / "att.npz", p, s, mask_values=[0, 1],
+                    extra={"config": cfg._asdict()})
+
+    # Caller asks for the flagship defaults; the file says attention@8.
+    p2, s2, cfg2, mv2 = unet(weights_path=str(tmp_path / "att.npz"))
+    assert cfg2 == cfg and mv2 == [0, 1]
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(p2)[0]), np.asarray(jax.tree.leaves(p)[0]))

@@ -18,6 +18,10 @@ from tpu_unet.data import CarvanaDataset, make_synthetic_carvana
 from tpu_unet.models import UNetConfig, init_unet
 from tpu_unet.train import train_model
 
+# Fast-tier exclusion (VERDICT r3 next #3): every test here spawns 2
+# coordinated OS processes with their own compiles — minutes each.
+pytestmark = pytest.mark.slow
+
 CHILD = r"""
 import json, os, sys
 pid, port, data, ck = int(sys.argv[1]), sys.argv[2], sys.argv[3], sys.argv[4]
@@ -53,9 +57,6 @@ from pathlib import Path
 from tpu_unet.data import CarvanaDataset
 from tpu_unet.models import UNetConfig, init_unet
 import tpu_unet.train as train_mod
-
-# Fast-tier exclusion (VERDICT r3 next #3): spawns 2 coordinated processes with their own compiles.
-pytestmark = pytest.mark.slow
 
 ds = CarvanaDataset(f"{data}/imgs", f"{data}/masks", scale=1.0, num_workers=0)
 config = UNetConfig(3, 1, bilinear=True, base_channels=8)

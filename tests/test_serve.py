@@ -191,21 +191,30 @@ def test_warmup_precompiles_and_resets_cleanly(predictor, rng):
 def test_tiled_serving_matches_full(rng, caplog):
     """--tile serving: a large 16-aligned request goes through the exact
     tiled sweep and equals the full-image prediction; a small request in
-    the same server falls back to the full-image path. Tiled serving
-    without --device-preprocess logs the measured-win hint (BENCH_NOTES
-    r4) at startup."""
+    the same server falls back to the full-image path. Tile mode enables
+    device preprocess by default (the measured winner at tiled scale,
+    BENCH_NOTES r4; bit-exact, so the equality assertions below also cover
+    it); an explicit opt-out logs the measured-win hint at startup."""
     import logging
 
     from tpu_unet.predict import predict_img
 
     config = UNetConfig(3, 2, bilinear=True, base_channels=4)
     params, state = init_unet(jax.random.PRNGKey(1), config)
+    p = BatchedPredictor(
+        params, state, config, [0, 128, 255],
+        scale=1.0, amp=False, max_batch=2, batch_window_ms=5.0,
+        tile=128, halo=128,
+    )
+    assert p.device_preprocess  # tile ⇒ device preprocess, by default
     with caplog.at_level(logging.INFO, logger="tpu_unet.serve"):
-        p = BatchedPredictor(
+        opt_out = BatchedPredictor(
             params, state, config, [0, 128, 255],
             scale=1.0, amp=False, max_batch=2, batch_window_ms=5.0,
-            tile=128, halo=128,
+            tile=128, halo=128, device_preprocess=False,
         )
+    opt_out.stop()
+    assert not opt_out.device_preprocess
     assert any("device preprocess measured" in r.getMessage()
                for r in caplog.records)
     try:

@@ -29,8 +29,9 @@ def eval_step(params, state, images, masks, *, config: UNetConfig,
               amp: bool = False, tta: bool = False, tta_mode: str = "flips"):
     """Dice (+IoU) for one validation batch. images NHWC, masks NHW int.
 
-    ``tta`` ensembles the four flip views (models/tta.py) in one batched
-    forward before thresholding — the measurement twin of ``predict --tta``.
+    ``tta`` ensembles the four flip views (models/tta.py), scanned one view
+    at a time for activation memory (batched=False below), before
+    thresholding — the measurement twin of ``predict --tta``.
     """
     compute_dtype = jnp.bfloat16 if amp else None
     if tta:

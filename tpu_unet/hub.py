@@ -12,10 +12,13 @@ honored.
 
 from __future__ import annotations
 
+import logging
 import os
 from pathlib import Path
 
 from tpu_unet.models import UNetConfig, init_unet
+
+logger = logging.getLogger(__name__)
 
 _RELEASE_URLS = {
     # The upstream publishes scale-0.5 and scale-1.0 Carvana checkpoints via
@@ -88,8 +91,23 @@ def unet(arch: str = "unet", n_channels: int = 3, n_classes: int = 2,
 
             params, state, mask_values = import_pth(weights_path, config)
         else:
-            from tpu_unet.checkpoint import load_checkpoint
+            from tpu_unet.checkpoint import (load_checkpoint,
+                                             read_checkpoint_meta)
 
+            # .npz checkpoints are self-describing: honor the file's config
+            # when it disagrees with the caller's args, rather than failing
+            # with a raw KeyError/shape error from the array restore
+            # (ADVICE r4). Caller args act as defaults, not overrides.
+            _, extra = read_checkpoint_meta(weights_path)
+            ck_cfg = extra.get("config")
+            if ck_cfg is not None:
+                file_config = UNetConfig(**ck_cfg)
+                if file_config != config:
+                    logger.info(
+                        "hub.unet: checkpoint is %s — using its config over "
+                        "the caller's %s", file_config, config)
+                    config = file_config
+                    params, state = init_unet(jax.random.PRNGKey(0), config)
             params, state, mask_values, _ = load_checkpoint(
                 weights_path, params, state)
     return params, state, config, mask_values

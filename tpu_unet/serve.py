@@ -123,7 +123,7 @@ class BatchedPredictor:
         halo: int = 128,
         tta: bool = False,
         tta_mode: str = "flips",
-        device_preprocess: bool = False,
+        device_preprocess: bool | None = None,
     ):
         """``fwd``/``static_hw`` serve a pre-compiled artifact (export.py):
         ``fwd`` is called instead of building a model from params/state, and
@@ -167,6 +167,16 @@ class BatchedPredictor:
             raise ValueError("--device-preprocess does not apply to .jaxexp "
                              "artifacts (their input shape is static); "
                              "serve a checkpoint")
+        if device_preprocess is None:
+            # Measured default (BENCH_NOTES r4, at the serving site): device
+            # preprocess wins 14% p50 / 32% p90 at tiled 1918×1280 and is
+            # bit-exact, but LOSES ~24% p50 at small single-forward shapes.
+            # --tile is the deployment signal for the former regime, so it
+            # enables device preprocess; deterministic per server config,
+            # never per request size. Opt out with --no-device-preprocess.
+            # (tile with fwd/kernels was rejected above, so the checkpoint
+            # path is guaranteed here.)
+            device_preprocess = bool(tile)
         self.device_preprocess = device_preprocess
         self._dp_warned_modes: set[str] = set()
         if fwd is not None:
@@ -213,15 +223,16 @@ class BatchedPredictor:
         self.tile, self.halo = tile, halo
         self.tta = tta
         if tile:
-            if not device_preprocess and fwd is None:
-                # Measured at the serving site (BENCH_NOTES r4): at tiled
+            if not self.device_preprocess:
+                # Explicit --no-device-preprocess under --tile: the user
+                # opted out of the measured winner (BENCH_NOTES r4: at tiled
                 # 1918×1280 the host bicubic dominates the serial path and
-                # --device-preprocess wins 14% p50 / 32% p90 (and loses
-                # only at small single-forward shapes, where --tile is off).
-                logger.info("serve --tile without --device-preprocess: "
+                # device preprocess wins 14% p50 / 32% p90, bit-exact). Say
+                # so once at startup.
+                logger.info("serve --tile with --no-device-preprocess: "
                             "device preprocess measured 14%% faster p50 / "
                             "32%% p90 at this scale and is bit-exact — "
-                            "consider enabling it")
+                            "it is the default for tiled serving")
             # Large-image path: exact tiled sweep (one dispatch, peak HBM
             # O(window) not O(image) — parallel/tiling.py). Used per request
             # group when the preprocessed shape meets the exactness contract
@@ -699,7 +710,7 @@ def build_predictor(model_path: str, args) -> BatchedPredictor:
         tile=args.tile, halo=args.halo,
         tta=getattr(args, "tta", False),
         tta_mode=getattr(args, "tta_mode", "flips"),
-        device_preprocess=getattr(args, "device_preprocess", False),
+        device_preprocess=getattr(args, "device_preprocess", None),
     )
     if args.warmup:
         h_r, w_r = (int(v) for v in args.warmup.lower().split("x"))
@@ -751,15 +762,16 @@ def main(argv=None):
                         "(110 px) for exact stitching")
     p.add_argument("--max-body-mb", type=int, default=64,
                    help="Reject POST bodies larger than this with 413")
-    p.add_argument("--device-preprocess", action="store_true", default=False,
+    p.add_argument("--device-preprocess", action=argparse.BooleanOptionalAction,
+                   default=None,
                    help="Resize + normalize each request ON DEVICE "
                         "(Pillow-bit-exact int32 resample — identical "
                         "masks); host keeps only the image decode. "
-                        "Recommended for large-input/tiled serving: wins "
-                        "14%% p50 / 32%% p90 at 1918x1280 --tile 1024 but "
-                        "LOSES ~24%% p50 at small single-forward shapes "
-                        "(measured, BENCH_NOTES r4). Checkpoint serving "
-                        "only; non-8-bit images fall back to host "
+                        "Default: ON for tiled serving, OFF otherwise — "
+                        "the measured winners (wins 14%% p50 / 32%% p90 at "
+                        "1918x1280 --tile 1024, LOSES ~24%% p50 at small "
+                        "single-forward shapes; BENCH_NOTES r4). Checkpoint "
+                        "serving only; non-8-bit images fall back to host "
                         "preprocess per request")
     p.add_argument("--warmup", type=str, default=None, metavar="HxW",
                    help="Run one dummy request at this raw image size "
