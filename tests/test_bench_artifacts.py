@@ -9,11 +9,14 @@ import bench
 from tpu_unet.models import UNetConfig
 
 
-def test_bench_batch_runs_at_toy_scale(monkeypatch):
-    monkeypatch.setattr(bench, "H", 32)
-    monkeypatch.setattr(bench, "W", 32)
-    monkeypatch.setattr(bench, "CONFIG", UNetConfig(3, 1, bilinear=True, base_channels=8))
-    ips = bench.bench_batch(2, iters=2, amp=True)
+def test_bench_batch_runs_at_toy_scale():
+    # Pass the toy shape EXPLICITLY: bench_batch's h/w/config defaults bind
+    # bench.H/W/CONFIG at def time, so monkeypatching the module attributes
+    # (as this test originally did) silently ran the REAL 572² 31M train
+    # step on CPU — 829 s of the "fast" tier (measured r5).
+    ips = bench.bench_batch(
+        2, iters=2, amp=True, h=32, w=32,
+        config=UNetConfig(3, 1, bilinear=True, base_channels=8))
     assert ips > 0
 
 

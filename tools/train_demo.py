@@ -102,30 +102,58 @@ ARCH_LR: dict[str, float] = {
     "r2attu": 3e-5,
 }
 
+# Per-family optimizer overrides (VERDICT r4 next #5): the recurrent
+# families' divergence is momentum-0.999 × doubled depth; adam's
+# bias-corrected second moment has no such horizon. Filled once an on-chip
+# measurement shows the alternative closes the −0.08 held-out gap; empty
+# means every family trains on the reference RMSprop recipe.
+ARCH_OPT: dict[str, str] = {}
+
+
+def resolve_recipe(preset: str, arch: str, *, epochs_override: int | None = None,
+                   optimizer: str | None = None, lr_override: float | None = None):
+    """(floor, heldout_floor, lr, optimizer, epochs) for a demo run.
+
+    Family floors (ARCH_FLOORS) are calibrated at the arch preset's sizing
+    and gate ONLY there with the family's calibrated recipe; any off-recipe
+    run (epochs/optimizer/lr override, or non-flagship arch on another
+    preset) is report-only — the frozen gates never judge a configuration
+    they weren't calibrated on.
+    """
+    h, w, n_imgs, bc, batch, lr, epochs, floor, heldout_floor = PRESETS[preset]
+    if arch != "unet" or preset == "arch":
+        fam = ARCH_FLOORS.get(arch) if preset == "arch" else None
+        floor, heldout_floor = fam if fam is not None else (0.0, None)
+        lr = ARCH_LR.get(arch, lr)
+    opt = ARCH_OPT.get(arch, "rmsprop")
+    if optimizer is not None and optimizer != opt:
+        opt = optimizer
+        floor, heldout_floor = 0.0, None
+    if lr_override is not None and lr_override != lr:
+        lr = lr_override
+        floor, heldout_floor = 0.0, None
+    if epochs_override is not None:
+        epochs = epochs_override
+        floor, heldout_floor = 0.0, None
+    return floor, heldout_floor, lr, opt, epochs
+
 
 def run(preset: str = "full", data_dir: str | None = None,
         device_data: bool | None = None, ema_decay: float | None = None,
         augment: bool = False, augment_mode: str = "full",
         epochs_override: int | None = None,
-        arch: str = "unet") -> dict:
+        arch: str = "unet", optimizer: str | None = None,
+        lr_override: float | None = None) -> dict:
     from tpu_unet.data import HELDOUT_GEN, CarvanaDataset, make_synthetic_carvana
     from tpu_unet.evaluate import evaluate
     from tpu_unet.models import UNetConfig, init_unet
     from tpu_unet.train import train_model
 
-    h, w, n_imgs, bc, batch, lr, epochs, floor, heldout_floor = PRESETS[preset]
-    if arch != "unet" or preset == "arch":
-        # Family floors (ARCH_FLOORS) are calibrated at the arch preset's
-        # sizing and gate ONLY there; any other preset × non-flagship arch
-        # is report-only (the flagship's own presets keep their floors).
-        fam = ARCH_FLOORS.get(arch) if preset == "arch" else None
-        floor, heldout_floor = fam if fam is not None else (0.0, None)
-        lr = ARCH_LR.get(arch, lr)
-    if epochs_override is not None:
-        # Budget experiments (report-only): the frozen gates are calibrated
-        # on the preset budget, so overriding epochs blanks them.
-        epochs = epochs_override
-        floor, heldout_floor = 0.0, None
+    h, w, n_imgs, bc, batch, _, _, _, _ = PRESETS[preset]
+    floor, heldout_floor, lr, opt, epochs = resolve_recipe(
+        preset, arch, epochs_override=epochs_override, optimizer=optimizer,
+        lr_override=lr_override,
+    )
     tmp = Path(data_dir or tempfile.mkdtemp())
     import tpu_unet.data as _data
 
@@ -158,7 +186,7 @@ def run(preset: str = "full", data_dir: str | None = None,
     ck = tmp / "ck"
     params, state, hist = train_model(
         params, state, config, dataset=ds, epochs=epochs, batch_size=batch,
-        learning_rate=lr, val_percent=1 / 6,
+        learning_rate=lr, val_percent=1 / 6, optimizer=opt,
         # EMA weights only materialize through the sibling checkpoint
         # files, so checkpointing turns on (pruned to 1) when EMA is asked.
         save_checkpoint_flag=ema_decay is not None,
@@ -242,6 +270,7 @@ def run(preset: str = "full", data_dir: str | None = None,
         "last_loss": round(hist["train_loss"][-1], 3) if hist["train_loss"] else None,
         "steps": len(hist["train_loss"]),
         "lr": lr,
+        "optimizer": opt,
         "epochs": epochs,
         "train_wall_s": round(wall, 1),
         "dice_floor": floor,
@@ -274,10 +303,19 @@ def main():
     ap.add_argument("--epochs", type=int, default=None,
                     help="Override the preset's epoch budget (report-only: "
                          "disables the frozen gates)")
+    ap.add_argument("--optimizer", choices=("rmsprop", "adam", "adamw", "sgd"),
+                    default=None,
+                    help="Override the family's calibrated optimizer "
+                         "(ARCH_OPT; report-only when it differs — the "
+                         "frozen gates judge only the calibrated recipe)")
+    ap.add_argument("--lr", type=float, default=None, dest="lr_override",
+                    help="Override the resolved learning rate (report-only "
+                         "when it differs from the calibrated recipe)")
     args = ap.parse_args()
     result = run(args.preset, ema_decay=args.ema_decay, augment=args.augment,
                  augment_mode=args.augment_mode,
-                 epochs_override=args.epochs, arch=args.arch)
+                 epochs_override=args.epochs, arch=args.arch,
+                 optimizer=args.optimizer, lr_override=args.lr_override)
     print(json.dumps(result))
     if args.out:
         Path(args.out).write_text(json.dumps(result, indent=2))

@@ -22,6 +22,12 @@ updates never recompile). AMP = bf16 compute; no GradScaler needed — bf16
 keeps fp32 exponent range, so the reference's loss-scaling machinery has no
 TPU counterpart by design. Data parallelism is GSPMD: params replicated,
 batch sharded over a 1-D mesh; XLA emits the ICI psum.
+
+Layout (VERDICT r4 next #7): ``train_model`` is the orchestrator; setup
+phases live in module-level helpers (`_check_train_flags`, `_build_mesh`,
+`_build_loaders`, `_restore_resume`, `_place_opt_state`, `_build_stepper`),
+and the sibling modules own EMA (train_ema), logging (train_logging),
+signals (train_signals), and checkpoint policy (train_checkpoints).
 """
 
 from __future__ import annotations
@@ -250,52 +256,12 @@ def make_train_step(
     return functools.partial(jax.jit, **jit_kwargs)(sharded)
 
 
-def train_model(
-    params,
-    bn_state,
-    config: UNetConfig,
-    *,
-    dataset,
-    epochs: int = 5,
-    batch_size: int = 1,
-    learning_rate: float = 1e-5,
-    val_percent: float = 0.1,
-    save_checkpoint_flag: bool = True,
-    keep_checkpoints: int | None = None,
-    save_best: bool = False,
-    amp: bool = False,
-    weight_decay: float = 1e-8,
-    momentum: float | None = None,
-    gradient_clipping: float = 1.0,
-    optimizer: str = "rmsprop",
-    nesterov: bool = False,
-    dice_weight: float = 1.0,
-    lr_scheduler: str = "plateau",
-    lr_step_size: int = 10,
-    lr_gamma: float = 0.1,
-    lr_min: float = 0.0,
-    remat: bool = False,
-    data_parallel: bool = False,
-    use_wandb: bool = False,
-    checkpoint_dir: Path = dir_checkpoint,
-    seed: int = 0,
-    save_optimizer: bool = False,
-    resume: str | None = None,
-    device_preprocess: bool = False,
-    device_dataset: bool = False,
-    kernels: str | None = None,
-    spatial_parallel: int = 1,
-    tensor_parallel: int = 1,
-    pipeline_parallel: int = 1,
-    accum_steps: int = 1,
-    ema_decay: float | None = None,
-    augment=None,
-    vmem_limit_kib: int | None = None,
-    val_per_epoch: int = 5,
-    zero: bool = False,
-    early_stopping: int | None = None,
-):
-    """The reference's train_model, TPU-native. Returns (params, bn_state, history)."""
+def _check_train_flags(*, accum_steps, batch_size, early_stopping, zero,
+                       data_parallel, kernels, tensor_parallel,
+                       pipeline_parallel, spatial_parallel, optimizer,
+                       ema_decay, remat):
+    """Reject invalid flag compositions up front (one clear error instead of
+    a cryptic failure deep in setup). Pure checks — no state."""
     if accum_steps > 1 and batch_size % accum_steps:
         raise ValueError(
             f"--accum-steps {accum_steps} must divide --batch-size {batch_size}"
@@ -362,11 +328,16 @@ def train_model(
             # payload — per-stage remat is the schedule's memory model.
             logger.info("--pipeline-parallel implies per-stage recompute; "
                         "remat flag is redundant and ignored")
-    # 1–2. Split into train / validation partitions (torch randperm parity).
-    train_idx, val_idx = random_split_indices(len(dataset), val_percent, seed=seed)
-    n_train, n_val = len(train_idx), len(val_idx)
 
-    # Mesh first (the device-resident dataset stages onto it).
+
+def _build_mesh(params, bn_state, *, data_parallel, tensor_parallel,
+                spatial_parallel, kernels):
+    """GSPMD mesh selection + initial tree placement.
+
+    Returns (params, bn_state, mesh, step_mesh, sharding): ``mesh`` is the
+    global device mesh (None off-DP), ``sharding`` the batch image sharding,
+    ``step_mesh`` non-None only for the shard_map Pallas DP path.
+    """
     sharding = None
     step_mesh = None
     mesh = None
@@ -414,13 +385,15 @@ def train_model(
             # kernels on its local batch shard, BN stat sums are psum'd
             # (global-batch stats, same semantics as the GSPMD XLA path).
             step_mesh = mesh
+    return params, bn_state, mesh, step_mesh, sharding
 
-    # 3. Data loaders: host decode threads + device double-buffer prefetch,
-    # or the HBM-resident corpus (per-step H2D = the index vector).
-    from tpu_unet.parallel.multihost import is_primary
 
-    multihost = jax.process_count() > 1
-    primary = is_primary()
+def _build_loaders(dataset, train_idx, val_idx, *, batch_size, sharding, mesh,
+                   seed, data_parallel, device_dataset, device_preprocess,
+                   multihost):
+    """Train/val feeds: host decode threads + device double-buffer prefetch,
+    the HBM-resident corpus, or the per-process multi-host loader."""
+    n_val = len(val_idx)
     if multihost:
         # Multi-host SPMD (parallel/multihost.py): every process loads only
         # its rows of each global batch (or, with --device-dataset, stages
@@ -490,6 +463,280 @@ def train_model(
 
         train_loader = wrap(train_loader)
         val_loader = wrap(val_loader)
+    return train_loader, val_loader
+
+
+def _restore_resume(resume, params, bn_state, opt_state, scheduler, *,
+                    optimizer, lr_scheduler, learning_rate, sharding, mesh,
+                    tensor_parallel):
+    """Full-state resume (beyond-reference: the reference's --load restores
+    weights only and restarts epochs; SURVEY.md §5). Optimizer state only
+    restores into the SAME optimizer's structure — checkpoints are
+    self-describing (extra['optimizer']), so a mismatch degrades to
+    weights-only resume with a warning instead of cryptic opt/key errors.
+
+    Returns (params, bn_state, opt_state, start_epoch, resume_es) with the
+    scheduler mutated in place and trees re-placed on the mesh.
+    """
+    _, prev_extra = read_checkpoint_meta(resume)
+    saved_opt = prev_extra.get("optimizer", "rmsprop")
+    opt_like = opt_state
+    if saved_opt != optimizer:
+        logger.warning(
+            "Resume checkpoint was written by optimizer %r but this run "
+            "uses %r — optimizer state (if any) is discarded; weights/"
+            "scheduler/epoch still restore.", saved_opt, optimizer)
+        opt_like = None
+    params, bn_state, _, extra = load_checkpoint(resume, params, bn_state, opt_like)
+    if "opt_state" in extra:
+        opt_state = extra.pop("opt_state")
+    start_epoch = int(extra.get("epoch", 0)) + 1
+    if "scheduler" in extra:
+        # Full schedule state (plateau: best/num_bad_epochs/cooldown;
+        # epoch schedules: base_lr/epoch), so a resumed run neither
+        # forgets plateau progress nor re-triggers lr drops. The saved
+        # name (missing in pre-menu checkpoints = plateau) must match
+        # the configured schedule; otherwise start the new schedule
+        # fresh rather than load mismatched fields.
+        sched_state = dict(extra["scheduler"])
+        saved_sched = sched_state.pop("name", "plateau")
+        if saved_sched == lr_scheduler:
+            scheduler.load_state_dict(sched_state)
+        else:
+            logger.warning(
+                "Resume checkpoint used lr scheduler %r but this run "
+                "uses %r — starting the schedule fresh at lr %g.",
+                saved_sched, lr_scheduler, scheduler.lr)
+    else:  # older checkpoints carry only the lr
+        scheduler.lr = float(extra.get("lr", learning_rate))
+    resume_es = extra.get("early_stop")
+    logger.info("Resumed from %s at epoch %d (lr %g)", resume, start_epoch,
+                scheduler.lr)
+    if sharding is not None:
+        # Re-place: the load put the restored trees on one device.
+        if tensor_parallel > 1:
+            from tpu_unet.parallel.tensor import shard_model
+
+            params, bn_state = shard_model(mesh, params, bn_state)
+        else:
+            rep = replicated(sharding.mesh)
+            params = jax.device_put(params, rep)
+            bn_state = jax.device_put(bn_state, rep)
+    return params, bn_state, opt_state, start_epoch, resume_es
+
+
+def _place_opt_state(opt_state, params, *, sharding, mesh, tensor_parallel,
+                     zero):
+    """Optimizer-state placement on the mesh. Returns (opt_state,
+    opt_shardings) — opt_shardings non-None only for ZeRO-1, where the step
+    pins its outputs to the 1/N placement."""
+    opt_shardings = None
+    if sharding is not None:
+        if tensor_parallel > 1:
+            # Shard the fp32 RMSprop trees like the params: the optimizer
+            # update stays shard-local, which is the memory point of tp.
+            from tpu_unet.parallel.tensor import shard_opt_state
+
+            opt_state = shard_opt_state(mesh, opt_state, params)
+        elif zero:
+            # ZeRO-1: fp32 state 1/N per chip, one all-gathered param delta
+            # per step (parallel/zero.py); matches the replicated update
+            # to fp32 round-off (the reduce-scatter regroups reductions).
+            from tpu_unet.parallel.zero import (
+                shard_opt_state_zero, zero_opt_shardings,
+            )
+
+            opt_state = shard_opt_state_zero(mesh, opt_state, params)
+            opt_shardings = zero_opt_shardings(mesh, opt_state, params)
+        else:
+            opt_state = jax.device_put(opt_state, replicated(sharding.mesh))
+    return opt_state, opt_shardings
+
+
+def _build_stepper(params, bn_state, opt_state, config, *, pipeline_parallel,
+                   accum_steps, amp, weight_decay, momentum,
+                   gradient_clipping, dice_weight, remat, kernels, step_mesh,
+                   vmem_limit_kib, opt_shardings, optimizer, nesterov):
+    """Either the GPipe runner or the fused jitted step.
+
+    Returns (pipeline, train_step) — exactly one is non-None.
+    """
+    if pipeline_parallel > 1:
+        from tpu_unet.parallel.pipeline import PipelineRunner
+
+        # --accum-steps doubles as the pipeline's microbatch count (they are
+        # the same semantics: strided microbatches, averaged gradient, one
+        # update); default = one microbatch per stage so the GPipe bubble
+        # stays bounded at (S-1)/(2S-1).
+        microbatches = accum_steps if accum_steps > 1 else pipeline_parallel
+        pipeline = PipelineRunner(
+            params, bn_state, config,
+            n_stages=pipeline_parallel, microbatches=microbatches,
+            opt_state=opt_state, amp=amp, weight_decay=weight_decay,
+            momentum=0.999 if momentum is None else momentum,
+            grad_clip=gradient_clipping, dice_weight=dice_weight,
+        )
+        logger.info(
+            "Pipeline parallelism: %d stages %s over %d devices, "
+            "%d microbatches/step",
+            pipeline_parallel,
+            [f"{s[0]}..{s[-1]}" if len(s) > 1 else s[0]
+             for s in pipeline._stages],
+            pipeline_parallel, microbatches,
+        )
+        return pipeline, None
+    train_step = make_train_step(
+        config, amp=amp, remat=remat, weight_decay=weight_decay,
+        momentum=momentum, grad_clip=gradient_clipping,
+        kernels=kernels, mesh=step_mesh, accum_steps=accum_steps,
+        vmem_limit_kib=vmem_limit_kib, opt_shardings=opt_shardings,
+        optimizer=optimizer, nesterov=nesterov, dice_weight=dice_weight,
+    )
+    return None, train_step
+
+
+def _validation_pass(*, params, bn_state, opt_state, pipeline, val_loader,
+                     config, amp, sharding, scheduler, history, ema,
+                     early_stopping, es_best, es_bad, policy, panel, epoch,
+                     global_step, images, masks, hist_batch, multihost, stop):
+    """One validation event (reference cadence: 5×/epoch): evaluate, step the
+    plateau scheduler, early-stopping bookkeeping, EMA validation, best
+    checkpoint, W&B panel, and the multi-host synchronized-stop broadcast.
+
+    Returns (params, bn_state, opt_state, es_best, es_bad, early_stopped,
+    interrupted) — the trees change only on the pipeline path (gather).
+    """
+    if pipeline is not None:
+        # Refresh the full trees from the stage devices once per validation
+        # (cheap D2D) — evaluation, plateau, --save-best, and W&B all read
+        # the gathered copies.
+        params, bn_state, opt_state = pipeline.gather()
+    val_dice, val_iou = evaluate(params, bn_state, val_loader, config,
+                                 amp, sharding=sharding)
+    lr_now = scheduler.step(val_dice)
+    history["val_dice"].append(val_dice)
+    history["lr"].append(lr_now)
+    logger.info("Validation Dice score: %f (IoU %f)", val_dice, val_iou)
+    early_stopped = False
+    if early_stopping is not None:
+        if val_dice > es_best:
+            es_best, es_bad = val_dice, 0
+        else:
+            es_bad += 1
+            if es_bad >= early_stopping:
+                early_stopped = True
+                logger.info(
+                    "Early stopping: no val Dice improvement "
+                    "in %d validations (best %.4f)",
+                    early_stopping, es_best)
+    if ema is not None:
+        # The shadow weights' own validation (same sharded path; runs on
+        # every host under --multihost).
+        ema_dice, _ = evaluate(ema.params, bn_state, val_loader,
+                               config, amp, sharding=sharding)
+        history["val_dice_ema"].append(ema_dice)
+        logger.info("Validation Dice (EMA): %f", ema_dice)
+    policy.maybe_save_best(
+        val_dice, epoch=epoch, step=global_step,
+        lr=scheduler.lr, params=params, bn_state=bn_state,
+        opt_state=opt_state,
+    )
+    # Reference parity W&B surface (train_logging.py): the sample triplet +
+    # subsampled weight/grad histograms — scalars only under --multihost
+    # (the heavy jits would deadlock the non-primary hosts).
+    panel.log(
+        lr_now=lr_now, val_dice=val_dice, val_iou=val_iou,
+        step=global_step, epoch=epoch, params=params,
+        bn_state=bn_state, images=images, masks=masks,
+        hist_batch=hist_batch,
+    )
+    interrupted = False
+    if multihost:
+        # Synchronized stop: every process reaches this division step, so
+        # broadcasting the PRIMARY's SIGTERM/SIGINT flag makes all hosts
+        # leave the loop at the same batch — a unilateral local break would
+        # strand the other hosts in the next step's collectives.
+        from jax.experimental import multihost_utils
+
+        interrupted = bool(multihost_utils.broadcast_one_to_all(
+            np.int32(1 if stop.requested else 0)))
+    return (params, bn_state, opt_state, es_best, es_bad, early_stopped,
+            interrupted)
+
+
+def train_model(
+    params,
+    bn_state,
+    config: UNetConfig,
+    *,
+    dataset,
+    epochs: int = 5,
+    batch_size: int = 1,
+    learning_rate: float = 1e-5,
+    val_percent: float = 0.1,
+    save_checkpoint_flag: bool = True,
+    keep_checkpoints: int | None = None,
+    save_best: bool = False,
+    amp: bool = False,
+    weight_decay: float = 1e-8,
+    momentum: float | None = None,
+    gradient_clipping: float = 1.0,
+    optimizer: str = "rmsprop",
+    nesterov: bool = False,
+    dice_weight: float = 1.0,
+    lr_scheduler: str = "plateau",
+    lr_step_size: int = 10,
+    lr_gamma: float = 0.1,
+    lr_min: float = 0.0,
+    remat: bool = False,
+    data_parallel: bool = False,
+    use_wandb: bool = False,
+    checkpoint_dir: Path = dir_checkpoint,
+    seed: int = 0,
+    save_optimizer: bool = False,
+    resume: str | None = None,
+    device_preprocess: bool = False,
+    device_dataset: bool = False,
+    kernels: str | None = None,
+    spatial_parallel: int = 1,
+    tensor_parallel: int = 1,
+    pipeline_parallel: int = 1,
+    accum_steps: int = 1,
+    ema_decay: float | None = None,
+    augment=None,
+    vmem_limit_kib: int | None = None,
+    val_per_epoch: int = 5,
+    zero: bool = False,
+    early_stopping: int | None = None,
+):
+    """The reference's train_model, TPU-native. Returns (params, bn_state, history)."""
+    _check_train_flags(
+        accum_steps=accum_steps, batch_size=batch_size,
+        early_stopping=early_stopping, zero=zero, data_parallel=data_parallel,
+        kernels=kernels, tensor_parallel=tensor_parallel,
+        pipeline_parallel=pipeline_parallel, spatial_parallel=spatial_parallel,
+        optimizer=optimizer, ema_decay=ema_decay, remat=remat,
+    )
+    # 1–2. Split into train / validation partitions (torch randperm parity).
+    train_idx, val_idx = random_split_indices(len(dataset), val_percent, seed=seed)
+    n_train, n_val = len(train_idx), len(val_idx)
+
+    # Mesh first (the device-resident dataset stages onto it), then feeds.
+    params, bn_state, mesh, step_mesh, sharding = _build_mesh(
+        params, bn_state, data_parallel=data_parallel,
+        tensor_parallel=tensor_parallel, spatial_parallel=spatial_parallel,
+        kernels=kernels,
+    )
+    from tpu_unet.parallel.multihost import is_primary
+
+    multihost = jax.process_count() > 1
+    primary = is_primary()
+    train_loader, val_loader = _build_loaders(
+        dataset, train_idx, val_idx, batch_size=batch_size, sharding=sharding,
+        mesh=mesh, seed=seed, data_parallel=data_parallel,
+        device_dataset=device_dataset, device_preprocess=device_preprocess,
+        multihost=multihost,
+    )
 
     experiment = init_wandb(
         use_wandb, primary,
@@ -530,108 +777,25 @@ def train_model(
     start_epoch = 1
     resume_es = None  # early-stopping (best, bad) saved by a prior run
     if resume:
-        # Full-state resume (beyond-reference: the reference's --load restores
-        # weights only and restarts epochs; SURVEY.md §5). Optimizer state
-        # only restores into the SAME optimizer's structure — checkpoints
-        # are self-describing (extra['optimizer']), so a mismatch degrades
-        # to weights-only resume with a warning instead of cryptic opt/
-        # key errors.
-        _, prev_extra = read_checkpoint_meta(resume)
-        saved_opt = prev_extra.get("optimizer", "rmsprop")
-        opt_like = opt_state
-        if saved_opt != optimizer:
-            logger.warning(
-                "Resume checkpoint was written by optimizer %r but this run "
-                "uses %r — optimizer state (if any) is discarded; weights/"
-                "scheduler/epoch still restore.", saved_opt, optimizer)
-            opt_like = None
-        params, bn_state, _, extra = load_checkpoint(resume, params, bn_state, opt_like)
-        if "opt_state" in extra:
-            opt_state = extra.pop("opt_state")
-        start_epoch = int(extra.get("epoch", 0)) + 1
-        if "scheduler" in extra:
-            # Full schedule state (plateau: best/num_bad_epochs/cooldown;
-            # epoch schedules: base_lr/epoch), so a resumed run neither
-            # forgets plateau progress nor re-triggers lr drops. The saved
-            # name (missing in pre-menu checkpoints = plateau) must match
-            # the configured schedule; otherwise start the new schedule
-            # fresh rather than load mismatched fields.
-            sched_state = dict(extra["scheduler"])
-            saved_sched = sched_state.pop("name", "plateau")
-            if saved_sched == lr_scheduler:
-                scheduler.load_state_dict(sched_state)
-            else:
-                logger.warning(
-                    "Resume checkpoint used lr scheduler %r but this run "
-                    "uses %r — starting the schedule fresh at lr %g.",
-                    saved_sched, lr_scheduler, scheduler.lr)
-        else:  # older checkpoints carry only the lr
-            scheduler.lr = float(extra.get("lr", learning_rate))
-        resume_es = extra.get("early_stop")
-        logger.info("Resumed from %s at epoch %d (lr %g)", resume, start_epoch, scheduler.lr)
-        if sharding is not None:
-            # Re-place: the load put the restored trees on one device.
-            if tensor_parallel > 1:
-                from tpu_unet.parallel.tensor import shard_model
-
-                params, bn_state = shard_model(mesh, params, bn_state)
-            else:
-                rep = replicated(sharding.mesh)
-                params = jax.device_put(params, rep)
-                bn_state = jax.device_put(bn_state, rep)
-    opt_shardings = None
-    if sharding is not None:
-        if tensor_parallel > 1:
-            # Shard the fp32 RMSprop trees like the params: the optimizer
-            # update stays shard-local, which is the memory point of tp.
-            from tpu_unet.parallel.tensor import shard_opt_state
-
-            opt_state = shard_opt_state(mesh, opt_state, params)
-        elif zero:
-            # ZeRO-1: fp32 state 1/N per chip, one all-gathered param delta
-            # per step (parallel/zero.py); matches the replicated update
-            # to fp32 round-off (the reduce-scatter regroups reductions).
-            from tpu_unet.parallel.zero import (
-                shard_opt_state_zero, zero_opt_shardings,
-            )
-
-            opt_state = shard_opt_state_zero(mesh, opt_state, params)
-            opt_shardings = zero_opt_shardings(mesh, opt_state, params)
-        else:
-            opt_state = jax.device_put(opt_state, replicated(sharding.mesh))
-    pipeline = None
-    if pipeline_parallel > 1:
-        from tpu_unet.parallel.pipeline import PipelineRunner
-
-        # --accum-steps doubles as the pipeline's microbatch count (they are
-        # the same semantics: strided microbatches, averaged gradient, one
-        # update); default = one microbatch per stage so the GPipe bubble
-        # stays bounded at (S-1)/(2S-1).
-        microbatches = accum_steps if accum_steps > 1 else pipeline_parallel
-        pipeline = PipelineRunner(
-            params, bn_state, config,
-            n_stages=pipeline_parallel, microbatches=microbatches,
-            opt_state=opt_state, amp=amp, weight_decay=weight_decay,
-            momentum=0.999 if momentum is None else momentum,
-            grad_clip=gradient_clipping, dice_weight=dice_weight,
+        params, bn_state, opt_state, start_epoch, resume_es = _restore_resume(
+            resume, params, bn_state, opt_state, scheduler,
+            optimizer=optimizer, lr_scheduler=lr_scheduler,
+            learning_rate=learning_rate, sharding=sharding, mesh=mesh,
+            tensor_parallel=tensor_parallel,
         )
-        logger.info(
-            "Pipeline parallelism: %d stages %s over %d devices, "
-            "%d microbatches/step",
-            pipeline_parallel,
-            [f"{s[0]}..{s[-1]}" if len(s) > 1 else s[0]
-             for s in pipeline._stages],
-            pipeline_parallel, microbatches,
-        )
-        train_step = None
-    else:
-        train_step = make_train_step(
-            config, amp=amp, remat=remat, weight_decay=weight_decay,
-            momentum=momentum, grad_clip=gradient_clipping,
-            kernels=kernels, mesh=step_mesh, accum_steps=accum_steps,
-            vmem_limit_kib=vmem_limit_kib, opt_shardings=opt_shardings,
-            optimizer=optimizer, nesterov=nesterov, dice_weight=dice_weight,
-        )
+    opt_state, opt_shardings = _place_opt_state(
+        opt_state, params, sharding=sharding, mesh=mesh,
+        tensor_parallel=tensor_parallel, zero=zero,
+    )
+    pipeline, train_step = _build_stepper(
+        params, bn_state, opt_state, config,
+        pipeline_parallel=pipeline_parallel, accum_steps=accum_steps, amp=amp,
+        weight_decay=weight_decay, momentum=momentum,
+        gradient_clipping=gradient_clipping, dice_weight=dice_weight,
+        remat=remat, kernels=kernels, step_mesh=step_mesh,
+        vmem_limit_kib=vmem_limit_kib, opt_shardings=opt_shardings,
+        optimizer=optimizer, nesterov=nesterov,
+    )
 
     # The per-validation W&B surface (train_logging.py): scalars always,
     # sample triplet + subsampled weight/grad histograms off-multihost.
@@ -748,63 +912,25 @@ def train_model(
                     # very D2H sync LossDrain exists to avoid.
                     pbar.update(images.shape[0])
 
-                # Validation 5×/epoch, reference cadence.
+                # Validation 5×/epoch, reference cadence (_validation_pass:
+                # evaluate + plateau + early-stop + EMA + best-ckpt + W&B +
+                # multi-host synchronized stop).
                 if division_step > 0 and global_step % division_step == 0:
                     drain.drain()
-                    if pipeline is not None:
-                        # Refresh the full trees from the stage devices once
-                        # per validation (cheap D2D) — evaluation, plateau,
-                        # --save-best, and W&B all read the gathered copies.
-                        params, bn_state, opt_state = pipeline.gather()
-                    val_dice, val_iou = evaluate(params, bn_state, val_loader, config,
-                                                 amp, sharding=sharding)
-                    lr_now = scheduler.step(val_dice)
-                    history["val_dice"].append(val_dice)
-                    history["lr"].append(lr_now)
-                    logger.info("Validation Dice score: %f (IoU %f)", val_dice, val_iou)
-                    if early_stopping is not None:
-                        if val_dice > es_best:
-                            es_best, es_bad = val_dice, 0
-                        else:
-                            es_bad += 1
-                            if es_bad >= early_stopping:
-                                early_stopped = True
-                                logger.info(
-                                    "Early stopping: no val Dice improvement "
-                                    "in %d validations (best %.4f)",
-                                    early_stopping, es_best)
-                    if ema is not None:
-                        # The shadow weights' own validation (same sharded
-                        # path; runs on every host under --multihost).
-                        ema_dice, _ = evaluate(ema.params, bn_state, val_loader,
-                                               config, amp, sharding=sharding)
-                        history["val_dice_ema"].append(ema_dice)
-                        logger.info("Validation Dice (EMA): %f", ema_dice)
-                    policy.maybe_save_best(
-                        val_dice, epoch=epoch, step=global_step,
-                        lr=scheduler.lr, params=params, bn_state=bn_state,
-                        opt_state=opt_state,
+                    (params, bn_state, opt_state, es_best, es_bad, stopped,
+                     mh_interrupt) = _validation_pass(
+                        params=params, bn_state=bn_state, opt_state=opt_state,
+                        pipeline=pipeline, val_loader=val_loader,
+                        config=config, amp=amp, sharding=sharding,
+                        scheduler=scheduler, history=history, ema=ema,
+                        early_stopping=early_stopping, es_best=es_best,
+                        es_bad=es_bad, policy=policy, panel=panel,
+                        epoch=epoch, global_step=global_step, images=images,
+                        masks=masks, hist_batch=hist_batch,
+                        multihost=multihost, stop=stop,
                     )
-                    # Reference parity W&B surface (train_logging.py): the
-                    # sample triplet + subsampled weight/grad histograms —
-                    # scalars only under --multihost (the heavy jits would
-                    # deadlock the non-primary hosts).
-                    panel.log(
-                        lr_now=lr_now, val_dice=val_dice, val_iou=val_iou,
-                        step=global_step, epoch=epoch, params=params,
-                        bn_state=bn_state, images=images, masks=masks,
-                        hist_batch=hist_batch,
-                    )
-                    if multihost:
-                        # Synchronized stop: every process reaches this division
-                        # step, so broadcasting the PRIMARY's SIGTERM/SIGINT flag
-                        # makes all hosts leave the loop at the same batch — a
-                        # unilateral local break would strand the other hosts in
-                        # the next step's collectives.
-                        from jax.experimental import multihost_utils
-
-                        interrupted = bool(multihost_utils.broadcast_one_to_all(
-                            np.int32(1 if stop.requested else 0)))
+                    early_stopped = early_stopped or stopped
+                    interrupted = interrupted or mh_interrupt
                 if interrupted or early_stopped:
                     break
 
