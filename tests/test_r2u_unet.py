@@ -2,6 +2,7 @@
 CLI + self-describing checkpoint surface."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -24,6 +25,35 @@ def test_r2u_forward_shapes_both_decoders():
         # Every block is an RRCNN: two shared recurrent units, one BN each.
         for k in ("inc", "down1", "down4"):
             assert set(new_state[k]) == {"rec1", "rec2"}
+
+
+def test_recur_bn_layouts_agree_in_train_mode():
+    """config.recur_bn selects the BN-statistics layout: "per_step"
+    (default; one running mean/var per weight-shared application —
+    arXiv:1603.09025) vs "shared" (the torch formulation, one BN stepped
+    t+1 times). Train-mode normalization uses batch statistics, so the two
+    layouts must produce IDENTICAL logits from the same weights; only the
+    running-statistics bookkeeping differs."""
+    shared_cfg = CONFIG._replace(recur_bn="shared")
+    params, state_ps = init_unet(jax.random.PRNGKey(0), CONFIG)
+    params_s, state_sh = init_unet(jax.random.PRNGKey(0), shared_cfg)
+    # Same weights either way (the layout lives in the STATE tree only).
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(params)[0]),
+        np.asarray(jax.tree.leaves(params_s)[0]))
+    assert set(state_ps["inc"]["rec1"]) == {"bn0", "bn1", "bn2"}
+    assert set(state_sh["inc"]["rec1"]) == {"bn"}
+    x = jnp.asarray(
+        np.random.default_rng(3).standard_normal((2, 32, 32, 3),
+                                                 dtype=np.float32))
+    y_ps, ns_ps = unet_apply(params, state_ps, x, config=CONFIG, train=True)
+    y_sh, _ = unet_apply(params, state_sh, x, config=shared_cfg, train=True)
+    np.testing.assert_allclose(np.asarray(y_ps), np.asarray(y_sh),
+                               atol=1e-5, rtol=1e-5)
+    # Per-step stats really are per application: the t+1 trees saw
+    # different activation distributions, so their running means differ.
+    r1 = ns_ps["inc"]["rec1"]
+    assert float(jnp.abs(r1["bn0"].mean - r1["bn1"].mean).max()) > 1e-6
 
 
 def test_r2u_odd_sizes():
@@ -139,3 +169,42 @@ def test_r2u_tiler_receptive_field_guard():
     with pytest.raises(ValueError, match="exactness requirement"):
         tiled_forward(params, state, x, config=r2u, tile=128,
                       halo=DEFAULT_HALO)
+
+
+@pytest.mark.slow
+def test_per_step_bn_fixes_adam_eval_collapse(tmp_path):
+    """The r5 root-cause regression (BENCH_NOTES r5): under a fast
+    optimizer the SHARED-stats recurrence collapses in eval mode (running
+    stats are an EMA over t+1 different per-application distributions —
+    measured toy: train-mode Dice 0.89 vs eval-mode 0.06), while the
+    per-step default stays consistent. Train both layouts from identical
+    weights on identical data; the per-step eval Dice must be sane and
+    far above the shared form's."""
+    from tpu_unet.data import CarvanaDataset, make_synthetic_carvana
+    from tpu_unet.evaluate import evaluate
+    from tpu_unet.data import DataLoader, random_split_indices
+    from tpu_unet.train import train_model
+
+    # The r5 diagnostic's exact sizing — the collapse is scale-sensitive
+    # (at 48×64/bc8 both layouts landed ~0.73; at this config the shared
+    # form measured 0.057 vs per-step 0.924).
+    make_synthetic_carvana(tmp_path / "d", n=24, h=64, w=96)
+    ds = CarvanaDataset(tmp_path / "d" / "imgs", tmp_path / "d" / "masks",
+                        scale=1.0, cache=True)
+    results = {}
+    for layout in ("per_step", "shared"):
+        config = UNetConfig(3, 1, bilinear=True, base_channels=16,
+                            arch="r2attu", recur_bn=layout)
+        params, state = init_unet(jax.random.PRNGKey(0), config)
+        params, state, _ = train_model(
+            params, state, config, dataset=ds, epochs=12, batch_size=4,
+            learning_rate=1e-3, optimizer="adam", val_percent=1 / 6,
+            save_checkpoint_flag=False, seed=0)
+        _, val_idx = random_split_indices(len(ds), 1 / 6, seed=0)
+        dice, _ = evaluate(params, state, DataLoader(ds, 4, indices=val_idx),
+                           config, amp=False)
+        results[layout] = float(dice)
+    # Identical weights trajectory (train-mode semantics are layout-equal);
+    # only the eval-mode normalization differs.
+    assert results["per_step"] > 0.6, results
+    assert results["per_step"] > results["shared"] + 0.1, results

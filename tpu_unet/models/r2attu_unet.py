@@ -55,14 +55,17 @@ def init_r2attu_unet(
     keys = jax.random.split(key, 14)
     params: Params = {}
     state: State = {}
+    # Per-application BN statistics by default (config.recur_bn docstring,
+    # models/unet.py); None selects the shared torch-parity layout.
+    steps = config.recur_t + 1 if config.recur_bn == "per_step" else None
 
     params["inc"], state["inc"] = _rrcnn_init(
-        keys[0], config.n_channels, c, dtype=dtype)
+        keys[0], config.n_channels, c, dtype=dtype, steps=steps)
     down_channels = [(c, 2 * c), (2 * c, 4 * c), (4 * c, 8 * c),
                      (8 * c, 16 * c // factor)]
     for i, (cin, cout) in enumerate(down_channels, start=1):
         params[f"down{i}"], state[f"down{i}"] = _rrcnn_init(
-            keys[i], cin, cout, dtype=dtype)
+            keys[i], cin, cout, dtype=dtype, steps=steps)
 
     up_specs = [  # (in_channels, out_channels), as in models/unet.py
         (16 * c // factor, 8 * c // factor),
@@ -75,7 +78,8 @@ def init_r2attu_unet(
         skip = [8 * c, 4 * c, 2 * c, c][i - 1]
         if config.bilinear:
             g_ch = cin  # upsample keeps channels
-            conv_p, conv_s = _rrcnn_init(kconv, skip + cin, cout, dtype=dtype)
+            conv_p, conv_s = _rrcnn_init(kconv, skip + cin, cout, dtype=dtype,
+                                         steps=steps)
             p = {"conv": conv_p}
             s = {"conv": conv_s}
         else:
@@ -87,7 +91,8 @@ def init_r2attu_unet(
                                         -bound, bound),
                 "b": jax.random.uniform(bkey, (g_ch,), dtype, -bound, bound),
             }}
-            conv_p, conv_s = _rrcnn_init(kconv, skip + g_ch, cout, dtype=dtype)
+            conv_p, conv_s = _rrcnn_init(kconv, skip + g_ch, cout, dtype=dtype,
+                                         steps=steps)
             p["conv"] = conv_p
             s = {"conv": conv_s}
         p["att"], s["att"] = _gate_init(keys[9 + i], g_ch, skip, dtype=dtype)

@@ -59,18 +59,33 @@ from tpu_unet.ops import (
 )
 
 
-def _rec_unit_init(key, ch: int, dtype=jnp.float32):
-    """One shared (3x3 conv → BN → ReLU) unit, applied recurrently."""
+def _rec_unit_init(key, ch: int, dtype=jnp.float32, steps: int | None = None):
+    """One shared (3x3 conv → BN → ReLU) unit, applied recurrently.
+
+    ``steps`` = t+1 per-application BN statistics (config.recur_bn
+    "per_step"); None = one shared running-stats tree (the "shared" torch
+    formulation). Weights, γ, β are shared either way.
+    """
     params = {
         "conv": _conv_init(key, 3, 3, ch, ch, bias=False, dtype=dtype),
         "bn": init_bn_params(ch, dtype),
     }
-    return params, {"bn": init_bn_state(ch)}
+    if steps is None:
+        return params, {"bn": init_bn_state(ch)}
+    return params, {f"bn{i}": init_bn_state(ch) for i in range(steps)}
 
 
 def _rec_unit_apply(params, state, x, *, t: int, train: bool, axis_name=None):
-    """h = unit(x); then t times h = unit(x + h), sharing weights AND the
-    BN (its running stats thread through the t+1 applications in order)."""
+    """h = unit(x); then t times h = unit(x + h), sharing weights.
+
+    BN statistics follow the STATE LAYOUT (so torch-oracle pytrees built
+    with a single "bn" exercise the parity formulation unchanged): a
+    "bn" key = the shared form, its running stats threaded through the
+    t+1 applications in order; "bn0".."bnt" = per-application statistics
+    (arXiv:1603.09025) — application i normalizes with ITS OWN running
+    mean/var at eval, fixing the eval-mode collapse the shared form shows
+    when the per-application activation distributions diverge (the
+    iterations see genuinely different inputs: x vs x+h)."""
 
     def unit(v, bn_state):
         h = conv2d(v, params["conv"]["w"], stride=1, padding=1)
@@ -78,20 +93,29 @@ def _rec_unit_apply(params, state, x, *, t: int, train: bool, axis_name=None):
                                  train=train, axis_name=axis_name)
         return jax.nn.relu(h), bn_state
 
-    h, bn = unit(x, state["bn"])
-    for _ in range(t):
-        h, bn = unit(x + h, bn)
-    return h, {"bn": bn}
+    if "bn" in state:  # shared statistics (torch-parity formulation)
+        h, bn = unit(x, state["bn"])
+        for _ in range(t):
+            h, bn = unit(x + h, bn)
+        return h, {"bn": bn}
+
+    h, bn0 = unit(x, state["bn0"])
+    new_state = {"bn0": bn0}
+    for i in range(1, t + 1):
+        h, bni = unit(x + h, state[f"bn{i}"])
+        new_state[f"bn{i}"] = bni
+    return h, new_state
 
 
-def _rrcnn_init(key, cin: int, cout: int, dtype=jnp.float32):
+def _rrcnn_init(key, cin: int, cout: int, dtype=jnp.float32,
+                steps: int | None = None):
     k0, k1, k2 = jax.random.split(key, 3)
     params = {
         "proj": _conv_init(k0, 1, 1, cin, cout, bias=True, dtype=dtype),
     }
     state: State = {}
-    params["rec1"], state["rec1"] = _rec_unit_init(k1, cout, dtype)
-    params["rec2"], state["rec2"] = _rec_unit_init(k2, cout, dtype)
+    params["rec1"], state["rec1"] = _rec_unit_init(k1, cout, dtype, steps=steps)
+    params["rec2"], state["rec2"] = _rec_unit_init(k2, cout, dtype, steps=steps)
     return params, state
 
 
@@ -114,14 +138,17 @@ def init_r2u_unet(
     keys = jax.random.split(key, 10)
     params: Params = {}
     state: State = {}
+    # Per-application BN statistics by default (config.recur_bn docstring,
+    # models/unet.py); None selects the shared torch-parity layout.
+    steps = config.recur_t + 1 if config.recur_bn == "per_step" else None
 
     params["inc"], state["inc"] = _rrcnn_init(
-        keys[0], config.n_channels, c, dtype=dtype)
+        keys[0], config.n_channels, c, dtype=dtype, steps=steps)
     down_channels = [(c, 2 * c), (2 * c, 4 * c), (4 * c, 8 * c),
                      (8 * c, 16 * c // factor)]
     for i, (cin, cout) in enumerate(down_channels, start=1):
         params[f"down{i}"], state[f"down{i}"] = _rrcnn_init(
-            keys[i], cin, cout, dtype=dtype)
+            keys[i], cin, cout, dtype=dtype, steps=steps)
 
     up_specs = [  # (in_channels, out_channels), as in models/unet.py
         (16 * c // factor, 8 * c // factor),
@@ -133,7 +160,8 @@ def init_r2u_unet(
         kup, kconv = jax.random.split(keys[4 + i])
         skip = [8 * c, 4 * c, 2 * c, c][i - 1]
         if config.bilinear:
-            conv_p, conv_s = _rrcnn_init(kconv, skip + cin, cout, dtype=dtype)
+            conv_p, conv_s = _rrcnn_init(kconv, skip + cin, cout, dtype=dtype,
+                                         steps=steps)
             p = {"conv": conv_p}
             s = {"conv": conv_s}
         else:
@@ -145,7 +173,8 @@ def init_r2u_unet(
                                         -bound, bound),
                 "b": jax.random.uniform(bkey, (half,), dtype, -bound, bound),
             }}
-            conv_p, conv_s = _rrcnn_init(kconv, skip + half, cout, dtype=dtype)
+            conv_p, conv_s = _rrcnn_init(kconv, skip + half, cout, dtype=dtype,
+                                         steps=steps)
             p["conv"] = conv_p
             s = {"conv": conv_s}
         params[f"up{i}"], state[f"up{i}"] = p, s

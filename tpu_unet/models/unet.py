@@ -60,6 +60,15 @@ class UNetConfig(NamedTuple):
     arch: str = "unet"
     deep_supervision: bool = False  # unetpp only: per-column heads, averaged
     recur_t: int = 2  # r2u/r2attu: recurrence depth of each shared conv unit
+    # r2u/r2attu BN statistics across the t+1 weight-shared applications:
+    # "per_step" keeps separate running mean/var per application (Cooijmans
+    # et al., arXiv:1603.09025 — weights/γ/β stay shared) — the default
+    # because the shared-stats form collapses in eval mode once training
+    # moves fast (measured r5: adam@3e-4 → train-mode Dice 0.89 vs
+    # eval-mode 0.06 on the toy diagnostic; BENCH_NOTES r5). "shared"
+    # reproduces the de-facto torch formulation (one BN stepped t+1 times),
+    # kept for parity comparison (tests/test_family_oracles.py).
+    recur_bn: str = "per_step"
     # MFU experiment (ops/s2d.py): compute the two full-resolution C=64
     # DoubleConv levels (inc, up4) in 2×2 space-to-depth form — same math,
     # 4× deeper MXU contraction, 1.78× the MACs. Numerics-equivalent

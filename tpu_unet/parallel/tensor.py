@@ -161,13 +161,18 @@ def unet_state_specs(state, tp: int):
             }
         if (isinstance(node, dict) and {"rec1", "rec2"} <= set(node.keys())
                 and isinstance(node["rec1"], dict)
-                and isinstance(node["rec1"].get("bn"), BNState)):
+                and any(isinstance(v, BNState)
+                        for v in node["rec1"].values())):
             # RRCNN state: rec1's BN stats shard with rec1.conv's Cout.
-            c = node["rec1"]["bn"].mean.shape[0]
+            # Both layouts: one shared "bn" tree or per-application
+            # "bn0".."bnt" trees (config.recur_bn) — every rec1 stats tree
+            # shards on the model axis, every rec2 tree is replicated.
+            c = next(v for v in node["rec1"].values()
+                     if isinstance(v, BNState)).mean.shape[0]
             s1 = P("model") if c % tp == 0 else P()
             return {
-                "rec1": {"bn": BNState(mean=s1, var=s1)},
-                "rec2": {"bn": BNState(mean=P(), var=P())},
+                "rec1": {k: BNState(mean=s1, var=s1) for k in node["rec1"]},
+                "rec2": {k: BNState(mean=P(), var=P()) for k in node["rec2"]},
                 **{k: walk(v) for k, v in node.items()
                    if k not in ("rec1", "rec2")},
             }
