@@ -79,35 +79,39 @@ HELDOUT_SEED = 4242  # never used by any training/val dataset generation
 # exists. (val_floor, heldout_floor); None = report-only first run, then
 # calibrated with headroom under the measured Dice (ARCH_DEMOS.json).
 ARCH_FLOORS: dict[str, tuple[float, float] | None] = {
-    # Calibrated from the r4 on-chip arch-preset runs (ARCH_DEMOS.json),
-    # measured Dice minus a 0.03 run-to-run noise margin. unet gates on
-    # the arch preset too (its preset floors are calibrated for "full"/
-    # "carvana" sizings, not 320×480/20ep).
+    # Calibrated from on-chip arch-preset runs (ARCH_DEMOS.json), measured
+    # Dice minus a 0.03 run-to-run noise margin. unet gates on the arch
+    # preset too (its preset floors are calibrated for "full"/"carvana"
+    # sizings, not 320×480/20ep). unet/unetpp/attention calibrated r4;
+    # r2u/r2attu recalibrated r5 on the adam + per-step-BN recipe
+    # (demo_runs/*_adam_psbn.json) — the r4 rmsprop floors (0.888/0.860,
+    # 0.898/0.860) belonged to the shared-BN eval pathology era.
     "unet": (0.947, 0.939),       # measured val 0.9772 / heldout 0.9685
     "unetpp": (0.965, 0.952),     # measured 0.9949 / 0.9816
     "attention": (0.954, 0.959),  # measured 0.9835 / 0.9887
-    "r2u": (0.888, 0.860),        # measured 0.9185 / 0.8902 (lr 3e-5)
-    "r2attu": (0.898, 0.860),     # measured 0.9282 / 0.8905 (lr 3e-5)
+    "r2u": (0.967, 0.955),        # measured 0.9970 / 0.9850 (r5 recipe)
+    "r2attu": (0.964, 0.960),     # measured 0.9946 / 0.9900 (r5 recipe)
 }
 
-# Per-family learning-rate overrides. Measured on chip (arch preset, r4):
-# at the preset's 3e-4 the recurrent families blow up within ~10 optimizer
-# steps (r2u train loss 1.4 -> 448 by step 10, saturating near 1e5, final
-# val Dice 0.34; r2attu late-diverged to 0.76) — the t=2 recurrence doubles
-# each block's effective conv depth and the reference RMSprop recipe's
-# momentum=0.999 accumulates ~1000 normalized steps, so the stable-lr window
-# shrinks roughly with depth. unet/unetpp/attention converge at 3e-4.
-ARCH_LR: dict[str, float] = {
-    "r2u": 3e-5,
-    "r2attu": 3e-5,
-}
+# Per-family learning-rate overrides on top of each preset's lr. r5: empty —
+# the recurrent families' divergence at 3e-4 was specific to the reference
+# RMSprop recipe (momentum 0.999 × doubled effective depth, BENCH_NOTES r4);
+# their calibrated optimizer is now adam (ARCH_OPT), stable at the preset's
+# 3e-4. The rmsprop fallback guidance (drop -l ~10x) lives in train_model's
+# runtime warning and MIGRATION.md.
+ARCH_LR: dict[str, float] = {}
 
-# Per-family optimizer overrides (VERDICT r4 next #5): the recurrent
-# families' divergence is momentum-0.999 × doubled depth; adam's
-# bias-corrected second moment has no such horizon. Filled once an on-chip
-# measurement shows the alternative closes the −0.08 held-out gap; empty
-# means every family trains on the reference RMSprop recipe.
-ARCH_OPT: dict[str, str] = {}
+# Per-family optimizer overrides (VERDICT r4 next #5). Measured on chip at
+# the arch preset (r5, with per-step recurrent BN — models/r2u_unet.py):
+#   r2u    rmsprop@3e-5 0.9185/0.8902 -> adam@3e-4 0.9970/0.9850
+#   r2attu rmsprop@3e-5 0.9282/0.8905 -> adam@3e-4 0.9946/0.9900
+# (val/held-out Dice). adam closes the whole family gap once the eval-mode
+# BN pathology is fixed; the recurrent families now match or beat the
+# attention family's held-out 0.9887.
+ARCH_OPT: dict[str, str] = {
+    "r2u": "adam",
+    "r2attu": "adam",
+}
 
 
 def resolve_recipe(preset: str, arch: str, *, epochs_override: int | None = None,

@@ -761,8 +761,10 @@ def train_model(
         # optimizer steps at lr 3e-4 where the other families converge.
         logger.warning(
             "--arch %s at lr %g under RMSprop(momentum>=0.99) diverged in "
-            "on-chip measurements (stable at ~3e-5); drop -l ~10x or use "
-            "--optimizer adam.", config.arch, learning_rate)
+            "on-chip measurements (stable at ~3e-5); drop -l ~10x — or use "
+            "--optimizer adam, measured at this lr to beat the calibrated "
+            "RMSprop recipe by +0.09-0.10 held-out Dice (ARCH_DEMOS.json r5).",
+            config.arch, learning_rate)
 
     opt_init, _ = get_optimizer(optimizer, weight_decay=weight_decay,
                                 momentum=momentum, nesterov=nesterov)
