@@ -266,3 +266,28 @@ def test_average_checkpoints(tmp_path):
     save_checkpoint(c, p3, s3)
     with pytest.raises(ValueError):
         average_checkpoints([a, c], tmp_path / "bad.npz")
+
+
+def test_recur_bn_layout_mismatch_gives_clear_error(tmp_path):
+    """A shared-layout recurrent checkpoint restored into the (default)
+    per-step template must name the fix, not die with a bare KeyError
+    (r5 layout change, models/r2u_unet.py)."""
+    import pytest
+
+    cfg_shared = UNetConfig(3, 1, bilinear=True, base_channels=8, arch="r2u",
+                            recur_bn="shared")
+    p, s = init_unet(jax.random.PRNGKey(0), cfg_shared)
+    save_checkpoint(tmp_path / "old.npz", p, s)
+
+    cfg_ps = cfg_shared._replace(recur_bn="per_step")
+    p2, s2 = init_unet(jax.random.PRNGKey(0), cfg_ps)
+    with pytest.raises(KeyError, match="recur_bn='shared'"):
+        load_checkpoint(tmp_path / "old.npz", p2, s2)
+    # And the reverse direction.
+    save_checkpoint(tmp_path / "new.npz", p2, s2)
+    with pytest.raises(KeyError, match="per_step"):
+        load_checkpoint(tmp_path / "new.npz", p, s)
+    # Matching layouts round-trip.
+    r_p, r_s, _, _ = load_checkpoint(tmp_path / "new.npz", p2, s2)
+    np.testing.assert_array_equal(np.asarray(jax.tree.leaves(r_p)[0]),
+                                  np.asarray(jax.tree.leaves(p2)[0]))

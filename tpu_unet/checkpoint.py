@@ -99,7 +99,22 @@ def load_checkpoint(
                     str(getattr(p, "key", getattr(p, "name", getattr(p, "idx", p))))
                     for p in pth
                 )
-                arr = z[key]
+                try:
+                    arr = z[key]
+                except KeyError:
+                    hint = ""
+                    if "/rec" in key and "/bn0/" in key:
+                        hint = (" — a per-step recurrent-BN template cannot "
+                                "load a shared-layout checkpoint (written "
+                                "pre-r5 or with recur_bn='shared'); rebuild "
+                                "with UNetConfig(recur_bn='shared')")
+                    elif "/rec" in key and "/bn/" in key:
+                        hint = (" — a shared recurrent-BN template cannot "
+                                "load a per-step checkpoint; rebuild with "
+                                "the default UNetConfig(recur_bn='per_step')")
+                    raise KeyError(
+                        f"checkpoint {path} has no entry {key!r}{hint}"
+                    ) from None
                 if arr.shape != leaf.shape:
                     raise ValueError(f"shape mismatch for {key}: {arr.shape} vs {leaf.shape}")
                 leaves.append(jnp.asarray(arr, dtype=leaf.dtype))
