@@ -80,7 +80,11 @@ HELDOUT_SEED = 4242  # never used by any training/val dataset generation
 # calibrated with headroom under the measured Dice (ARCH_DEMOS.json).
 ARCH_FLOORS: dict[str, tuple[float, float] | None] = {
     # Calibrated from on-chip arch-preset runs (ARCH_DEMOS.json), measured
-    # Dice minus a 0.03 run-to-run noise margin. unet gates on the arch
+    # Dice minus a 0.03 margin. The margin is NOT sampling noise — the
+    # seeded runs are bit-deterministic on chip (r5 gated re-runs
+    # reproduced r4's unet 0.9772/0.9685 and r5's r2u 0.9970/0.9850
+    # exactly); it is headroom for recipe-neutral code drift (XLA/jax
+    # upgrades, numerics-affecting refactors). unet gates on the arch
     # preset too (its preset floors are calibrated for "full"/"carvana"
     # sizings, not 320×480/20ep). unet/unetpp/attention calibrated r4;
     # r2u/r2attu recalibrated r5 on the adam + per-step-BN recipe
